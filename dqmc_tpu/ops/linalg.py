@@ -1,0 +1,190 @@
+"""Numerically stable LDR (UDT) matrix algebra for DQMC propagator products.
+
+This is the TPU-native equivalent of the reference's ``stablelinalg``
+(source/stablelinalg.cpp:1-191), which holds the entire numerical stability
+of the method.  A propagator product over many imaginary-time slices has
+singular values spanning ~exp(+-beta*W); representing it as ``F = L @
+diag(d) @ R`` with orthogonal L, non-negative scales d, and a
+well-conditioned R keeps every intermediate matrix O(1)-conditioned.
+
+Design notes (TPU-first, not a translation):
+
+- The reference uses LAPACK's greedy column-pivoted QR (``geqp3`` via
+  ``arma::qr(...,"vector")``, stablelinalg.cpp:40-41).  Greedy pivoting is
+  inherently sequential and maps terribly onto the MXU.  We instead pre-sort
+  columns by norm (one ``argsort``) and run XLA's blocked Householder QR.
+  For the matrices that arise here — each re-QR input is
+  ``diag(d_sorted) @ (well-conditioned) @ diag(d2)`` with d already sorted
+  descending — a single pre-sort captures the pivot order almost exactly,
+  and the d-scale separation it produces is validated against f64 brute
+  force in tests/test_linalg.py down to <1e-10.
+- All ops are pure functions on an ``LDR`` NamedTuple (a pytree), so they
+  vmap over walker/flavor axes and batch the QRs/GEMMs onto the MXU.
+- The three stabilized inverses mirror the reference's D_large/D_small
+  splitting (stablelinalg.cpp:94-190) exactly:
+      d = d_small * d_large,  d_large = max(d, 1),  d_small = min(d, 1)
+  so every solve sees only O(1) entries.
+- ``inv_one_plus_ldr_mul_ldr`` also returns log|det(I + F1 F2)|, which the
+  reference only computes in ``inv_I_plus_ldr`` (stablelinalg.cpp:118-120);
+  having it at every stabilization keeps the replica-exchange action fresh
+  for free.
+
+Identity padding: ``identity_ldr`` provides an exact identity factorization
+used by the sweep engine to make the first/last stack slots uniform — the
+reference's special cases (dqmc.cpp:141-146, 152-160, 196-214, 253-262,
+265-274) all collapse into the generic formulas when multiplied against an
+identity LDR.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LDR(NamedTuple):
+    """F = L @ diag(d) @ R.
+
+    L: (..., n, n) orthogonal; d: (..., n) non-negative scales;
+    R: (..., n, n) well-conditioned (unit-modulus diagonal up to a column
+    permutation).
+    """
+
+    L: jax.Array
+    d: jax.Array
+    R: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.L.shape[-1]
+
+
+def identity_ldr(n: int, dtype=jnp.float64) -> LDR:
+    eye = jnp.eye(n, dtype=dtype)
+    return LDR(eye, jnp.ones((n,), dtype=dtype), eye)
+
+
+def ldr_matrix(F: LDR) -> jax.Array:
+    """Dense reconstruction L @ diag(d) @ R (for tests/diagnostics)."""
+    return F.L @ (F.d[..., :, None] * F.R)
+
+
+def to_ldr(M: jax.Array) -> LDR:
+    """Factor M -> L * diag(d) * R via column-norm-presorted QR.
+
+    Mirrors the semantics of the reference's pivoted-QR ``to_LDR``
+    (stablelinalg.cpp:35-55): d = |diag(R_qr)| >= 0, R row-rescaled by 1/d,
+    and the column permutation folded back into R so that L*d*R == M.
+    """
+    norms = jnp.linalg.norm(M, axis=-2)
+    # descending stable sort of column norms ≈ geqp3's pivot order here
+    perm = jnp.argsort(-norms, stable=True)
+    Mp = jnp.take(M, perm, axis=-1)
+    Q, R = jnp.linalg.qr(Mp)
+    diag = jnp.diagonal(R, axis1=-2, axis2=-1)
+    d = jnp.abs(diag)
+    d_safe = jnp.where(d == 0, jnp.ones_like(d), d)
+    Rn = R / d_safe[..., :, None]
+    inv_perm = jnp.argsort(perm)
+    R_final = jnp.take(Rn, inv_perm, axis=-1)
+    return LDR(Q, d, R_final)
+
+
+def ldr_mul_mat(F: LDR, M: jax.Array) -> LDR:
+    """F' = F @ M (stablelinalg.cpp:57-67)."""
+    Mp = F.d[..., :, None] * (F.R @ M)
+    q = to_ldr(Mp)
+    return LDR(F.L @ q.L, q.d, q.R)
+
+
+def mat_mul_ldr(M: jax.Array, F: LDR) -> LDR:
+    """F' = M @ F (stablelinalg.cpp:69-79)."""
+    Mp = (M @ F.L) * F.d[..., None, :]
+    q = to_ldr(Mp)
+    return LDR(q.L, q.d, q.R @ F.R)
+
+
+def ldr_mul_ldr(F1: LDR, F2: LDR) -> LDR:
+    """F' = F1 @ F2 (stablelinalg.cpp:81-92)."""
+    Mp = (F1.d[..., :, None] * (F1.R @ F2.L)) * F2.d[..., None, :]
+    q = to_ldr(Mp)
+    return LDR(F1.L @ q.L, q.d, q.R @ F2.R)
+
+
+def _split_scales(d: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """d -> (d_large, d_small) with d_large = max(d,1), d_small = min(d,1)."""
+    one = jnp.ones_like(d)
+    return jnp.maximum(d, one), jnp.minimum(d, one)
+
+
+def inv_one_plus_ldr(F: LDR) -> Tuple[jax.Array, jax.Array]:
+    """G = [I + F]^-1 and log|det(I + F)| (stablelinalg.cpp:94-126).
+
+    Factorization: I + L d R = (R^-1 Dl^-1 + L Ds) Dl R = M Dl R, so
+    G = R^-1 Dl^-1 M^-1 = X M^-1 with X = solve(R, diag(1/Dl)); and
+    log|det(I+F)| = sum log Dl + log|det M| (|det R| = |det L| = 1).
+    """
+    d_large, d_small = _split_scales(F.d)
+    n = F.n
+    X = jnp.linalg.solve(F.R, jnp.eye(n, dtype=F.R.dtype)) / d_large[..., None, :]
+    M = X + F.L * d_small[..., None, :]
+    sign, logabs = jnp.linalg.slogdet(M)
+    del sign
+    log_det = jnp.sum(jnp.log(d_large), axis=-1) + logabs
+    # G = X @ M^-1  computed as  solve(M^T, X^T)^T
+    G = jnp.linalg.solve(jnp.swapaxes(M, -1, -2), jnp.swapaxes(X, -1, -2))
+    return jnp.swapaxes(G, -1, -2), log_det
+
+
+def inv_one_plus_ldr_mul_ldr(F1: LDR, F2: LDR) -> Tuple[jax.Array, jax.Array]:
+    """G = [I + F1 @ F2]^-1 and log|det(I + F1 F2)| (stablelinalg.cpp:128-158).
+
+    Factorization (orthogonal L1, so L1^-1 = L1^T):
+      I + F1 F2 = L1 D1l [ D1l^-1 L1^T R2^-1 D2l^-1 + D1s R1 L2 D2s ] D2l R2
+                = L1 D1l M D2l R2
+      G = R2^-1 D2l^-1 M^-1 D1l^-1 L1^T = X M^-1 Y
+      log|det| = sum log D1l + sum log D2l + log|det M|.
+
+    With F2 = identity_ldr this is numerically well-posed and equals
+    inv_one_plus_ldr(F1) mathematically — the sweep engine exploits this to
+    avoid per-slice special cases.
+    """
+    d1l, d1s = _split_scales(F1.d)
+    d2l, d2s = _split_scales(F2.d)
+    n = F1.n
+    L1T = jnp.swapaxes(F1.L, -1, -2)
+    X = jnp.linalg.solve(F2.R, jnp.eye(n, dtype=F2.R.dtype)) / d2l[..., None, :]
+    termA = (L1T @ X) / d1l[..., :, None]
+    termB = d1s[..., :, None] * (F1.R @ (F2.L * d2s[..., None, :]))
+    M = termA + termB
+    Y = L1T / d1l[..., :, None]
+    sign, logabs = jnp.linalg.slogdet(M)
+    del sign
+    log_det = (jnp.sum(jnp.log(d1l), axis=-1)
+               + jnp.sum(jnp.log(d2l), axis=-1) + logabs)
+    G = X @ jnp.linalg.solve(M, Y)
+    return G, log_det
+
+
+def inv_invldr_plus_ldr(F1: LDR, F2: LDR) -> jax.Array:
+    """G = [F1^-1 + F2]^-1 (stablelinalg.cpp:160-190).
+
+    Used for the unequal-time Green's functions
+    Gt0 = [B(tau,0)^-1 + B(beta,tau)]^-1 and G0t = -[B(beta,tau)^-1 + B(tau,0)]^-1.
+
+    Factorization:
+      F1^-1 + F2 = R1^-1 D1s^-1 [ D1l^-1 L1^T R2^-1 D2l^-1 + D1s R1 L2 D2s ] D2l R2
+      G = R2^-1 D2l^-1 M^-1 D1s R1 = X M^-1 (D1s R1).
+    """
+    d1l, d1s = _split_scales(F1.d)
+    d2l, d2s = _split_scales(F2.d)
+    n = F1.n
+    L1T = jnp.swapaxes(F1.L, -1, -2)
+    X = jnp.linalg.solve(F2.R, jnp.eye(n, dtype=F2.R.dtype)) / d2l[..., None, :]
+    termA = (L1T @ X) / d1l[..., :, None]
+    termB = d1s[..., :, None] * (F1.R @ (F2.L * d2s[..., None, :]))
+    M = termA + termB
+    Y = d1s[..., :, None] * F1.R
+    return X @ jnp.linalg.solve(M, Y)

@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Tests run on CPU with a faked 8-device mesh (the TPU-native analogue of
+"test multi-node without a real cluster") and with x64 enabled so that
+numerical parity can be asserted at f64 tolerances.  Environment variables
+must be set before jax initializes its backends, hence at module import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment pre-registers an 'axon' TPU platform plugin that overrides
+# JAX_PLATFORMS; the programmatic config wins, so force CPU here.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
