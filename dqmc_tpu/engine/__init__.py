@@ -1,0 +1,18 @@
+from dqmc_tpu.engine.state import EngineConfig, WalkerState
+from dqmc_tpu.engine.sweep import (
+    init_state,
+    rebuild_stack_and_greens,
+    sweep,
+    sweep_pair,
+    half_warp,
+)
+
+__all__ = [
+    "EngineConfig",
+    "WalkerState",
+    "init_state",
+    "rebuild_stack_and_greens",
+    "sweep",
+    "sweep_pair",
+    "half_warp",
+]

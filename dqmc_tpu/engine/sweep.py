@@ -1,0 +1,292 @@
+"""The DQMC sweep engine: propagation, local updates, stabilization.
+
+TPU-native re-design of the reference engine (source/dqmc.cpp:337-456,
+source/update.cpp:5-32).  One Monte-Carlo sweep is a single jitted
+``lax.scan`` over imaginary-time slices; each scan step
+
+  1. wraps the equal-time Green's function through the slice propagator
+     (two ns x ns GEMMs on the MXU),
+  2. runs the sequential Metropolis site loop as an inner ``lax.scan``
+     with rank-1 Sherman–Morrison updates (model.cpp:124-138),
+  3. accumulates the running B-product for the current stabilization block,
+  4. at block boundaries, restabilizes: folds the block product into the
+     LDR stack and recomputes G from the stable factorization, tracking the
+     naive-vs-stable deviation exactly like the reference's check_error
+     (dqmc.cpp:317-329).
+
+Two departures from the reference worth naming:
+
+- **Identity-padded stack.**  Stack slot arrays carry identity LDR factors
+  at both ends, which makes every stabilization, initialization, and
+  unequal-time formula a single generic expression — the reference's
+  boundary special cases (dqmc.cpp:141-146, 152-161, 196-215, 253-280) all
+  vanish.  ``[I + F·Id]⁻¹ == [I + F]⁻¹`` holds exactly in the stabilized
+  formulas (see ops/linalg.py).
+- **Streaming block product.**  The reference caches all nt B matrices and
+  re-multiplies each block at stabilization time (dqmc.cpp:88-105).  We
+  instead accumulate the block product one GEMM per slice inside the scan
+  (same total FLOPs, no O(nt·ns²) cache, better pipelining) and recompute
+  B from the field configuration wherever needed — on TPU the diag-scale of
+  expK is free compared to the GEMMs.
+
+Everything is vmappable over a leading walker axis and over model-replica
+axes (parallel tempering); the scan schedule (which slice stabilizes) is
+host-side static data, so ``lax.cond`` stays a real branch, not a select.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu import hsfield
+from dqmc_tpu.engine.state import EngineConfig, WalkerState
+from dqmc_tpu.ops.linalg import (
+    LDR,
+    inv_one_plus_ldr_mul_ldr,
+    ldr_mul_ldr,
+    ldr_mul_mat,
+    mat_mul_ldr,
+    to_ldr,
+)
+
+# flavor-batched LDR ops (leading (nfl,) axis)
+_to_ldr_f = jax.vmap(to_ldr)
+_mat_mul_ldr_f = jax.vmap(mat_mul_ldr)
+_ldr_mul_mat_f = jax.vmap(ldr_mul_mat)
+_ldr_mul_ldr_f = jax.vmap(ldr_mul_ldr)
+_inv_pair_f = jax.vmap(inv_one_plus_ldr_mul_ldr)
+
+
+# ----------------------------------------------------------------------
+# stack-slot helpers (stack leaves have leading (nfl, n_slots) axes)
+# ----------------------------------------------------------------------
+
+def slot_get(stack: LDR, i) -> LDR:
+    take = lambda x: jax.lax.dynamic_index_in_dim(x, i, axis=1, keepdims=False)
+    return LDR(take(stack.L), take(stack.d), take(stack.R))
+
+
+def slot_set(stack: LDR, i, F: LDR) -> LDR:
+    put = lambda x, v: jax.lax.dynamic_update_index_in_dim(x, v, i, axis=1)
+    return LDR(put(stack.L, F.L), put(stack.d, F.d), put(stack.R, F.R))
+
+
+def identity_stack(nfl: int, n_slots: int, ns: int, dtype) -> LDR:
+    eye = jnp.eye(ns, dtype=dtype)
+    L = jnp.tile(eye, (nfl, n_slots, 1, 1))
+    d = jnp.ones((nfl, n_slots, ns), dtype=dtype)
+    return LDR(L, d, L)
+
+
+# ----------------------------------------------------------------------
+# local Metropolis updates over one time slice (update.cpp:5-32)
+# ----------------------------------------------------------------------
+
+def local_update_slice(model, key: jax.Array, G: jax.Array,
+                       fields_l: jax.Array):
+    """Sequential Metropolis sweep over all sites of one time slice.
+
+    Sites are visited in a fresh random permutation (update.cpp:10-14);
+    each site proposes one of the 3 other field states; acceptance applies
+    the rank-1 Sherman–Morrison Green's-function update *before* writing
+    the new field value (update.cpp:27-28).  All randomness is drawn
+    up-front (the accept/reject path never re-seeds), so the inner scan is
+    deterministic data flow.
+
+    Returns (G, fields_l, acceptance_fraction).
+    """
+    ns = model.n_sites
+    dtype = G.dtype
+    kperm, kprop, kacc = jax.random.split(key, 3)
+    order = jax.random.permutation(kperm, ns)
+    props = jax.random.randint(kprop, (ns,), 0, 3)
+    us = jax.random.uniform(kacc, (ns,), dtype=dtype)
+    proposal_table = jnp.asarray(hsfield.PROPOSAL)
+
+    def step(carry, xs):
+        G, fields_l, acc = carry
+        i, r, u = xs
+        old = fields_l[i]
+        new = proposal_table[old, r]
+        gammaR, bosonR, delta = model.update_factors(old, new)
+        G_ii = G[:, i, i]                       # (nfl,)
+        r_flv = 1.0 + (1.0 - G_ii) * delta      # (nfl,)
+        R = gammaR * bosonR * jnp.prod(r_flv) ** model.det_power
+        accept = u < jnp.minimum(1.0, jnp.abs(R))
+        # G'_{jk} = G_{jk} + prefac * G_{ji} (G_{ik} - delta_{ik})
+        prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
+        e_i = jax.nn.one_hot(i, ns, dtype=dtype)
+        u_vec = G[:, :, i]                      # (nfl, ns)
+        v_vec = G[:, i, :] - e_i[None, :]       # (nfl, ns)
+        G = G + prefac[:, None, None] * (u_vec[:, :, None] * v_vec[:, None, :])
+        fields_l = fields_l.at[i].set(jnp.where(accept, new, old))
+        return (G, fields_l, acc + accept.astype(dtype)), None
+
+    init = (G, fields_l, jnp.zeros((), dtype))
+    (G, fields_l, acc), _ = jax.lax.scan(step, init, (order, props, us))
+    return G, fields_l, acc / ns
+
+
+# ----------------------------------------------------------------------
+# stack (re)initialization (dqmc.cpp:43-72)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def rebuild_stack_and_greens(model, cfg: EngineConfig, fields: jax.Array):
+    """Build the full right-to-left LDR stack from a field configuration and
+    the equal-time G(0,0) = [I + B(beta,0)]^{-1} with its log-determinant.
+
+    Structured as a backward no-update scan: accumulate each block's dense
+    B-product, then fold it into the suffix chain
+    slot[i+1] = slot[i+2] * LDR(Bbar_i)   (cf. dqmc.cpp:46-56).
+    """
+    nfl, ns = model.n_flavor, model.n_sites
+    dtype = model.dtype
+    stack = identity_stack(nfl, cfg.n_slots, ns, dtype)
+    eyeB = jnp.tile(jnp.eye(ns, dtype=dtype), (nfl, 1, 1))
+
+    ls, i_stacks, do_stabs = cfg.slice_schedule(forward=False)
+    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
+
+    def step(carry, x):
+        stack, Bbar = carry
+        l, i_stack, do_stab = x
+        B = model.B_of(jnp.take(fields, l, axis=0))
+        Bbar = Bbar @ B
+
+        def fold(args):
+            stack, Bbar = args
+            F_i = _to_ldr_f(Bbar)
+            F = _ldr_mul_ldr_f(slot_get(stack, i_stack + 2), F_i)
+            return slot_set(stack, i_stack + 1, F), eyeB
+
+        stack, Bbar = jax.lax.cond(do_stab, fold, lambda a: a, (stack, Bbar))
+        return (stack, Bbar), None
+
+    (stack, _), _ = jax.lax.scan(step, (stack, eyeB), xs)
+    G, log_det_M = _inv_pair_f(slot_get(stack, 0), slot_get(stack, 1))
+    return stack, G, log_det_M
+
+
+def init_state(model, cfg: EngineConfig, key: jax.Array) -> WalkerState:
+    """Fresh walker: random HS field (field.h:52-57), stack + G from it."""
+    kf, kchain = jax.random.split(key)
+    fields = hsfield.init_fields(kf, cfg.nt, model.n_sites)
+    stack, G, log_det_M = rebuild_stack_and_greens(model, cfg, fields)
+    z = jnp.zeros((), model.dtype)
+    return WalkerState(
+        fields=fields, G=G, stack=stack, log_det_M=log_det_M, key=kchain,
+        acc_sum=z, err_max=z, err_sum=z, err_count=z,
+    )
+
+
+# ----------------------------------------------------------------------
+# the sweep (dqmc.cpp:337-456)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "forward", "update"))
+def sweep(model, cfg: EngineConfig, state: WalkerState, *,
+          forward: bool = True, update: bool = True) -> WalkerState:
+    """One full Monte-Carlo sweep over all time slices.
+
+    forward=True : 0 -> beta, propagate then update, stabilize at block
+                   ends (dqmc.cpp:337-396).
+    forward=False: beta -> 0, update then propagate, stabilize at block
+                   starts (dqmc.cpp:398-456).
+    update=False : propagation/stabilization only (diagnostics).
+    """
+    nfl, ns = model.n_flavor, model.n_sites
+    dtype = model.dtype
+    eyeB = jnp.tile(jnp.eye(ns, dtype=dtype), (nfl, 1, 1))
+
+    ls, i_stacks, do_stabs = cfg.slice_schedule(forward)
+    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
+
+    def stabilize(G, stack, Bbar, i_stack):
+        if forward:
+            # prefix chain: slot[i+1] = Bbar * slot[i];  G(tau,tau) =
+            # [I + B(tau,0) B(beta,tau)]^{-1} with B(beta,tau) read from
+            # slot[i+2] (still holding the previous backward pass's suffix).
+            F_new = _mat_mul_ldr_f(Bbar, slot_get(stack, i_stack))
+            stack = slot_set(stack, i_stack + 1, F_new)
+            G_new, log_det = _inv_pair_f(F_new, slot_get(stack, i_stack + 2))
+        else:
+            # suffix chain: slot[i+1] = slot[i+2] * Bbar;  prefix read from
+            # slot[i] (left over from the previous forward pass).
+            F_new = _ldr_mul_mat_f(slot_get(stack, i_stack + 2), Bbar)
+            stack = slot_set(stack, i_stack + 1, F_new)
+            G_new, log_det = _inv_pair_f(slot_get(stack, i_stack), F_new)
+        err = jnp.max(jnp.abs(G - G_new))
+        return G_new, stack, log_det, err
+
+    def slice_step(carry, x):
+        fields, G, stack, log_det_M, Bbar, key, acc, emax, esum, ecnt = carry
+        l, i_stack, do_stab = x
+        fields_l = jnp.take(fields, l, axis=0)
+
+        if forward:
+            B, invB = model.B_mats(fields_l)
+            G = B @ G @ invB            # G(l+1) = B_l G(l) B_l^{-1}
+
+        if update:
+            key, k_slice = jax.random.split(key)
+            G, fields_l, acc_l = local_update_slice(model, k_slice, G, fields_l)
+            acc = acc + acc_l / cfg.nt
+            fields = fields.at[l].set(fields_l)
+
+        if forward:
+            # post-update B enters the block product
+            Bbar = model.B_of(fields_l) @ Bbar
+        else:
+            B, invB = model.B_mats(fields_l)
+            G = invB @ G @ B            # G(l) = B_l^{-1} G(l+1) B_l
+            Bbar = Bbar @ B
+
+        def stab_branch(args):
+            G, stack, log_det_M, Bbar = args
+            G_new, stack, log_det, err = stabilize(G, stack, Bbar, i_stack)
+            return G_new, stack, log_det, eyeB, err
+
+        def no_stab(args):
+            G, stack, log_det_M, Bbar = args
+            return G, stack, log_det_M, Bbar, jnp.zeros((), dtype)
+
+        G, stack, log_det_M, Bbar, err = jax.lax.cond(
+            do_stab, stab_branch, no_stab, (G, stack, log_det_M, Bbar))
+        emax = jnp.maximum(emax, err)
+        esum = esum + err
+        ecnt = ecnt + do_stab.astype(dtype)
+        carry = (fields, G, stack, log_det_M, Bbar, key, acc, emax, esum, ecnt)
+        return carry, None
+
+    carry = (state.fields, state.G, state.stack, state.log_det_M, eyeB,
+             state.key, state.acc_sum, state.err_max, state.err_sum,
+             state.err_count)
+    carry, _ = jax.lax.scan(slice_step, carry, xs)
+    (fields, G, stack, log_det_M, _, key, acc, emax, esum, ecnt) = carry
+    return dataclasses.replace(
+        state, fields=fields, G=G, stack=stack, log_det_M=log_det_M, key=key,
+        acc_sum=acc, err_max=emax, err_sum=esum, err_count=ecnt)
+
+
+def sweep_pair(model, cfg: EngineConfig, state: WalkerState) -> WalkerState:
+    """The reference's per-iteration unit: forward then backward sweep
+    (main.cpp:131-132, 156-157)."""
+    state = sweep(model, cfg, state, forward=True)
+    return sweep(model, cfg, state, forward=False)
+
+
+# ----------------------------------------------------------------------
+# symmetric-Trotter half-warp (dqmc.cpp:288-315)
+# ----------------------------------------------------------------------
+
+def half_warp(model, G: jax.Array) -> jax.Array:
+    """G~ = expm(+dtau K/2) G expm(-dtau K/2): the similarity transform that
+    makes measurements symmetric-Trotter accurate."""
+    return model.invexpK_half @ G @ model.expK_half

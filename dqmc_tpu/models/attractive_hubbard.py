@@ -1,0 +1,176 @@
+"""Attractive Hubbard model on a periodic lattice.
+
+    H = -t sum_<ij> c_i^dag c_j - mu sum_i n_i - U sum_i n_{iu} n_{id}
+
+Capability mirror of the reference ``AttractiveHubbard`` (source/model.cpp:
+3-159, include/model.h:11-58).  After the 4-state GHQ Hubbard–Stratonovich
+transform, each imaginary-time propagator factorizes as
+
+    B_l = diag(exp(g * eta(s_l))) @ expm(-dtau * K)
+
+with coupling g = sqrt(dtau*|U|/2) (model.cpp:27).  The attractive model is
+spin-symmetric: both spin species see the same B, so only one flavor is
+stored (``n_flavor = 1``) and its determinant ratio enters squared
+(``det_power = 2``, model.cpp:90-97).
+
+The model object is a frozen dataclass pytree: array leaves (expK and
+friends, g, eta/gamma tables, beta) vmap over a replica axis for parallel
+tempering — each replica's beta yields different dtau, hence different expK
+and g — while the static shape metadata (n_sites, nt, flavor structure)
+stays compile-time constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from dqmc_tpu import hsfield
+from dqmc_tpu.config import Parameters
+from dqmc_tpu.lattice import Lattice
+
+def _static():
+    return dataclasses.field(metadata=dict(static=True))
+
+
+def build_kinetic_matrix(lat: Lattice, t: float, mu: float) -> np.ndarray:
+    """Hopping + chemical-potential matrix K (model.cpp:39-60).
+
+    K[i,i] = -mu; K[i, i+x] = K[i, i+y] = -t with PBC.  Assignment (not
+    accumulation) semantics match the reference, which writes K(i,j) = -t —
+    relevant only for L=2 where +x and -x bonds coincide.
+    """
+    ns = lat.n_sites
+    K = np.zeros((ns, ns))
+    np.fill_diagonal(K, -mu)
+    for delta in ((1, 0), (0, 1)):
+        nm = lat.neighbor_map(delta, orb=0)
+        for i in range(ns):
+            K[i, nm[i]] = -t
+            K[nm[i], i] = -t
+    return K
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AttractiveHubbard:
+    # --- static structure ---
+    n_sites: int = _static()
+    nt: int = _static()
+    n_flavor: int = _static()    # stored flavors (spin-symmetric: 1)
+    det_power: int = _static()   # determinant-ratio multiplicity per stored flavor
+
+    # --- array leaves (batchable over a replica axis) ---
+    expK: jax.Array              # (ns, ns) expm(-dtau K)
+    invexpK: jax.Array           # (ns, ns) expm(+dtau K)
+    expK_half: jax.Array         # (ns, ns) expm(-dtau K / 2)
+    invexpK_half: jax.Array      # (ns, ns) expm(+dtau K / 2)
+    g: jax.Array                 # () HS coupling sqrt(dtau |U| / 2)
+    alpha: jax.Array             # () bosonic sign (-1 for attractive U>0)
+    eta: jax.Array               # (4,) GHQ node values
+    gamma: jax.Array             # (4,) GHQ weights
+    beta: jax.Array              # () inverse temperature (bookkeeping / PT)
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(cls, lat: Lattice, *, U: float, t: float, mu: float,
+              beta: float, nt: int, dtype=jnp.float64) -> "AttractiveHubbard":
+        dtau = beta / nt
+        K = build_kinetic_matrix(lat, t, mu)
+        # one-time dense expm in host f64 (model.cpp:31-35)
+        expK = scipy.linalg.expm(-dtau * K)
+        invexpK = scipy.linalg.expm(dtau * K)
+        expKh = scipy.linalg.expm(-0.5 * dtau * K)
+        invexpKh = scipy.linalg.expm(0.5 * dtau * K)
+        g = np.sqrt(0.5 * abs(U) * dtau)
+        return cls(
+            n_sites=lat.n_sites, nt=int(nt), n_flavor=1, det_power=2,
+            expK=jnp.asarray(expK, dtype),
+            invexpK=jnp.asarray(invexpK, dtype),
+            expK_half=jnp.asarray(expKh, dtype),
+            invexpK_half=jnp.asarray(invexpKh, dtype),
+            g=jnp.asarray(g, dtype),
+            alpha=jnp.asarray(-1.0, dtype),
+            eta=jnp.asarray(hsfield.ETA, dtype),
+            gamma=jnp.asarray(hsfield.GAMMA, dtype),
+            beta=jnp.asarray(beta, dtype),
+        )
+
+    @classmethod
+    def from_params(cls, params: Parameters, lat: Lattice, *,
+                    beta: float | None = None, dtype=jnp.float64):
+        return cls.build(
+            lat,
+            U=params.get_float("hubbard", "U"),
+            t=params.get_float("hubbard", "t"),
+            mu=params.get_float("hubbard", "mu"),
+            beta=params.get_float("simulation", "beta") if beta is None else beta,
+            nt=params.get_int("simulation", "nt"),
+            dtype=dtype,
+        )
+
+    @property
+    def dtype(self):
+        return self.expK.dtype
+
+    # ------------------------------------------------------------------
+    # propagator pieces
+    # ------------------------------------------------------------------
+
+    def expV_diag(self, fields_l: jax.Array) -> jax.Array:
+        """diag of exp(+V): (nfl, ns) = exp(g * eta(s)) (model.cpp:62-72).
+
+        Spin-symmetric: one stored flavor.
+        """
+        v = jnp.exp(self.g * self.eta[fields_l])
+        return v[None, :]
+
+    def B_mats(self, fields_l: jax.Array):
+        """B_l = diag(expV) @ expK and its inverse, shape (nfl, ns, ns)."""
+        expV = self.expV_diag(fields_l)
+        B = expV[..., :, None] * self.expK
+        invB = self.invexpK * (1.0 / expV)[..., None, :]
+        return B, invB
+
+    def B_of(self, fields_l: jax.Array) -> jax.Array:
+        expV = self.expV_diag(fields_l)
+        return expV[..., :, None] * self.expK
+
+    # ------------------------------------------------------------------
+    # local-update math (model.cpp:90-122)
+    # ------------------------------------------------------------------
+
+    def update_factors(self, old: jax.Array, new: jax.Array):
+        """(gammaR, bosonR, delta) for a proposed single-site flip.
+
+        gammaR = gamma(new)/gamma(old); bosonR = exp(alpha*g*d_eta);
+        delta  = exp(g*d_eta) - 1 (per stored flavor, (nfl,)) such that
+        B' = (I + delta * e_i e_i^T) B.
+        """
+        d_eta = self.eta[new] - self.eta[old]
+        gammaR = self.gamma[new] / self.gamma[old]
+        bosonR = jnp.exp(self.alpha * self.g * d_eta)
+        delta = jnp.expm1(self.g * d_eta)
+        return gammaR, bosonR, delta[None]
+
+    def det_ratio(self, G_ii: jax.Array, delta: jax.Array) -> jax.Array:
+        """Fermionic determinant ratio, all flavors combined
+        (model.cpp:90-97): prod_flv [1 + (1 - G_ii) delta]^det_power."""
+        r_flv = 1.0 + (1.0 - G_ii) * delta
+        return jnp.prod(r_flv) ** self.det_power
+
+    # ------------------------------------------------------------------
+    # global action for replica exchange (model.cpp:140-159)
+    # ------------------------------------------------------------------
+
+    def global_action(self, fields: jax.Array, log_det_M: jax.Array) -> jax.Array:
+        """S = -det_power * sum_flv log|det M_flv| - sum_i (alpha*g*eta_i + log gamma_i)."""
+        s_ferm = -self.det_power * jnp.sum(log_det_M)
+        log_boson = self.alpha * self.g * jnp.sum(self.eta[fields])
+        log_gamma = jnp.sum(jnp.log(self.gamma[fields]))
+        return s_ferm - log_boson - log_gamma
