@@ -1,0 +1,40 @@
+"""Jackknife estimators over binned measurements.
+
+Clean-room implementation of the standard delete-1 jackknife used by the
+reference analysis pipeline (scripts/analysis.py:232-298): mean over bins,
+error = sqrt((n-1)/n * sum_i (theta_i - mean(theta))^2) with theta_i the
+delete-1 bin means.  Vectorized over arbitrary trailing array axes
+(complex supported).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def jackknife(data: np.ndarray) -> Tuple[float, float]:
+    """(mean, error) over a 1D array of bin values."""
+    data = np.asarray(data)
+    n = len(data)
+    if n < 2:
+        raise ValueError("Need at least 2 bins for jackknife analysis")
+    full_mean = data.mean()
+    theta = (n * full_mean - data) / (n - 1)
+    var = ((theta - theta.mean()) ** 2).sum() * (n - 1) / n
+    return float(full_mean), float(np.sqrt(var))
+
+
+def jackknife_array(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Elementwise jackknife over axis 0 (bins).  Complex data uses direct
+    complex arithmetic ((theta - mean)**2, not |theta - mean|^2), matching
+    the reference (analysis.py:286-296)."""
+    data = np.asarray(data)
+    n = data.shape[0]
+    if n < 2:
+        raise ValueError("Need at least 2 bins for jackknife analysis")
+    full_mean = data.mean(axis=0)
+    theta = (n * full_mean[None] - data) / (n - 1)
+    var = ((theta - theta.mean(axis=0)[None]) ** 2).sum(axis=0) * (n - 1) / n
+    return full_mean, np.sqrt(var)

@@ -1,0 +1,208 @@
+"""Measurement registry, binned accumulation, and HDF5 output.
+
+Capability mirror of the reference ``MeasurementManager``
+(measurementh5.h:119-363), rebuilt around the device/host split:
+
+- All registered observables are fused into ONE jitted, walker-vmapped
+  measurement function; per-sweep work is entirely on-device, including the
+  site-pair -> displacement reduction (the transforms are linear, so
+  transforming per measurement and accumulating reduced (L1, L2, S) arrays
+  is exactly equivalent to the reference's accumulate-then-transform
+  (measurementh5.h:201-226, 321-348) while shrinking the accumulator from
+  O(ns^2) to O(L^2) per observable).
+- Unequal-time observables are measured *inside* the tau scan of
+  engine/uneqtime.py via ``self.uneq_measure_fn``; the full Green's-function
+  cubes never hit HBM.
+- ``accumulate()`` normalizes by the measurement count, DFTs displacement ->
+  momentum space, writes one HDF5 bin per walker in the reference's exact
+  group layout (io/h5out.py), and zeroes the accumulators
+  (measurementh5.h:229-274).
+
+Each walker plays the role of one reference MPI rank: walker w writes
+``results/data_<offset + w>.h5``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu.lattice import Lattice
+from dqmc_tpu.io.h5out import BinFileWriter
+from dqmc_tpu.measure.context import make_context
+from dqmc_tpu.measure.transforms import site_to_r
+
+
+class MeasurementManager:
+    def __init__(self, lat: Lattice, *, n_walkers: int = 1,
+                 measure_unequal: bool = False, out_dir: str = "results",
+                 rank_offset: int = 0, dtype=jnp.float64):
+        self.lat = lat
+        self.ctx = make_context(lat, dtype)
+        self.n_walkers = n_walkers
+        self.measure_unequal = measure_unequal
+        self.out_dir = out_dir
+        self.rank_offset = rank_offset
+        self.dtype = dtype
+
+        self._scalar_fns: Dict[str, Callable] = {}
+        self._eq_fns: Dict[str, Callable] = {}
+        self._uneq_fns: Dict[str, Callable] = {}
+
+        self._acc_scalar: Dict[str, jax.Array] = {}
+        self._acc_eq: Dict[str, jax.Array] = {}
+        self._acc_uneq: Dict[str, jax.Array] = {}
+        self._eq_count = 0
+        self._uneq_count = 0
+        self.current_bin = 0
+
+        self._measure_eq_jit = None
+        self._uneq_measure_fn = None
+        self._writers = None
+
+    # ------------------------------------------------------------------
+    # registry (measurementh5.h:167-187)
+    # ------------------------------------------------------------------
+
+    def add_scalar(self, name: str, fn: Callable) -> None:
+        self._scalar_fns[name] = fn
+        self._measure_eq_jit = None
+
+    def add_equal_time(self, name: str, fn: Callable) -> None:
+        self._eq_fns[name] = fn
+        self._measure_eq_jit = None
+
+    def add_unequal_time(self, name: str, fn: Callable) -> None:
+        # silently dropped when unequal-time measurement is off
+        # (measurementh5.h:182-184)
+        if not self.measure_unequal:
+            return
+        self._uneq_fns[name] = fn
+        self._uneq_measure_fn = None
+
+    def add_defaults(self) -> None:
+        """Register the reference driver's observable set (main.cpp:116-122)."""
+        from dqmc_tpu.measure import observables as obs
+        for name, fn in obs.SCALAR_OBSERVABLES.items():
+            self.add_scalar(name, fn)
+        for name, fn in obs.EQUAL_TIME_OBSERVABLES.items():
+            self.add_equal_time(name, fn)
+        for name, fn in obs.UNEQUAL_TIME_OBSERVABLES.items():
+            self.add_unequal_time(name, fn)
+
+    # ------------------------------------------------------------------
+    # fused measurement kernels
+    # ------------------------------------------------------------------
+
+    def _build_eq(self):
+        ctx = self.ctx
+        scalar_fns = dict(self._scalar_fns)
+        eq_fns = dict(self._eq_fns)
+
+        def measure_one(G00):
+            out = {}
+            for name, fn in scalar_fns.items():
+                out[("scalar", name)] = fn(G00, ctx)
+            for name, fn in eq_fns.items():
+                out[("eq", name)] = site_to_r(fn(G00, ctx), ctx)
+            return out
+
+        self._measure_eq_jit = jax.jit(jax.vmap(measure_one))
+
+    @property
+    def uneq_measure_fn(self) -> Optional[Callable]:
+        """Per-tau emit function for engine.sweep_unequal_time (stable
+        identity => jit cache hit across sweeps)."""
+        if not self._uneq_fns:
+            return None
+        if self._uneq_measure_fn is None:
+            ctx = self.ctx
+            uneq_fns = dict(self._uneq_fns)
+
+            def emit(Gtt, Gt0, G0t, G00):
+                return {name: site_to_r(fn(Gtt, Gt0, G0t, G00, ctx), ctx)
+                        for name, fn in uneq_fns.items()}
+
+            self._uneq_measure_fn = emit
+        return self._uneq_measure_fn
+
+    # ------------------------------------------------------------------
+    # per-sweep measurement (measurementh5.h:189-227)
+    # ------------------------------------------------------------------
+
+    def measure_equal(self, G00_batch: jax.Array) -> None:
+        """G00_batch: (n_walkers, nfl, ns, ns) equal-time Green's functions."""
+        if self._measure_eq_jit is None:
+            self._build_eq()
+        out = self._measure_eq_jit(G00_batch)
+        for (kind, name), val in out.items():
+            acc = self._acc_scalar if kind == "scalar" else self._acc_eq
+            acc[name] = acc[name] + val if name in acc else val
+        self._eq_count += 1
+
+    def measure_unequal_result(self, ys: Dict[str, jax.Array]) -> None:
+        """ys: dict name -> (n_walkers, n_tau, L1, L2, n_orb^2), the stacked
+        per-tau outputs of engine.sweep_unequal_time(measure_fn=...)."""
+        for name, val in ys.items():
+            self._acc_uneq[name] = (self._acc_uneq[name] + val
+                                    if name in self._acc_uneq else val)
+        self._uneq_count += 1
+
+    # ------------------------------------------------------------------
+    # bin boundary: normalize, transform to k, write, reset
+    # (measurementh5.h:229-274, 277-362)
+    # ------------------------------------------------------------------
+
+    def _writer(self, w: int) -> BinFileWriter:
+        if self._writers is None:
+            self._writers = {}
+        if w not in self._writers:
+            path = os.path.join(self.out_dir,
+                                f"data_{self.rank_offset + w}.h5")
+            self._writers[w] = BinFileWriter(path)
+        return self._writers[w]
+
+    def accumulate(self) -> None:
+        phases = np.asarray(self.ctx.phases)  # (L1, L2, L1, L2)
+
+        def to_k(chi_r):
+            return np.tensordot(phases, chi_r, axes=((2, 3), (0, 1)))
+
+        scalars = {n: np.asarray(v) / max(self._eq_count, 1)
+                   for n, v in self._acc_scalar.items()}
+        eq_r = {n: np.asarray(v) / max(self._eq_count, 1)
+                for n, v in self._acc_eq.items()}
+        # (W, T, L1, L2, no^2) -> (W, L1, L2, no^2, T) -> flat (a*no+b)*T + t
+        uneq_r = {}
+        for n, v in self._acc_uneq.items():
+            a = np.asarray(v) / max(self._uneq_count, 1)
+            W, T, L1, L2, no2 = a.shape
+            a = np.moveaxis(a, 1, -1).reshape(W, L1, L2, no2 * T)
+            uneq_r[n] = a
+
+        for w in range(self.n_walkers):
+            writer = self._writer(w)
+            writer.write_bin(
+                self.current_bin,
+                {n: float(v[w]) for n, v in scalars.items()},
+                {n: v[w] for n, v in eq_r.items()},
+                {n: to_k(v[w]) for n, v in eq_r.items()},
+                {n: v[w] for n, v in uneq_r.items()},
+                {n: to_k(v[w]) for n, v in uneq_r.items()},
+            )
+
+        self._acc_scalar.clear()
+        self._acc_eq.clear()
+        self._acc_uneq.clear()
+        self._eq_count = 0
+        self._uneq_count = 0
+        self.current_bin += 1
+
+    def close(self) -> None:
+        for w in (self._writers or {}).values():
+            w.close()
+        self._writers = None

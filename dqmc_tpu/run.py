@@ -1,0 +1,184 @@
+"""Simulation driver: the TPU-native equivalent of the reference's main()
+(source/main.cpp:14-214).
+
+Reads ``parameters.in`` from the working directory, runs thermalization and
+measurement sweeps, and writes binned HDF5 output under ``results/``.
+
+Where the reference parallelizes with one MPI rank per Markov chain, this
+driver batches walkers with ``vmap`` on a single chip (section [walkers]);
+scaling across chips and parallel tempering live in ``dqmc_tpu.parallel``.
+
+Config schema (superset of the reference's, SURVEY.md section 5):
+  [Lattice]            L1, L2
+  [hubbard]            U, t, mu
+  [simulation]         beta, nt, n_therms, n_sweeps, n_bins, n_stab,
+                       symmetric (default false),
+                       isMeasureUnequalTime, seed (default 42),
+                       dtype (float32|float64; default float64 on CPU,
+                       float32 on TPU — TPU has no native f64)
+  [walkers]            n_walkers (default 1)
+  [ParallelTempering]  enabled (default false), sweep_steps, betas
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu.config import Parameters
+from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair, half_warp
+from dqmc_tpu.engine.uneqtime import sweep_unequal_time
+from dqmc_tpu.lattice import square_lattice
+from dqmc_tpu.measure import MeasurementManager
+from dqmc_tpu.models import AttractiveHubbard
+
+
+def default_dtype():
+    return jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+
+
+def _resolve_dtype(params: Parameters):
+    name = params.get_str("simulation", "dtype", "")
+    if name in ("float32", "f32"):
+        return jnp.float32
+    if name in ("float64", "f64"):
+        if jax.default_backend() == "cpu":
+            jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return default_dtype()
+
+
+@dataclasses.dataclass
+class RunSummary:
+    n_walkers: int
+    n_bins: int
+    n_sweeps: int
+    therm_seconds: float
+    measure_seconds: float
+    sweeps_per_sec: float          # full sweep-pairs/sec aggregated over walkers
+    acc_rate: float
+    max_precision_error: float
+    mean_precision_error: float
+    exchange_rate: Optional[float] = None
+
+
+def run_simulation(params: Parameters, *, out_dir: str = "results",
+                   verbose: bool = True) -> RunSummary:
+    log = print if verbose else (lambda *a, **k: None)
+
+    pt_enabled = params.get_bool("ParallelTempering", "enabled", False)
+    if pt_enabled:
+        from dqmc_tpu.parallel.tempering import run_parallel_tempering
+        return run_parallel_tempering(params, out_dir=out_dir, verbose=verbose)
+
+    dtype = _resolve_dtype(params)
+    n_sweeps = params.get_int("simulation", "n_sweeps")
+    n_therms = params.get_int("simulation", "n_therms")
+    n_bins = params.get_int("simulation", "n_bins")
+    nt = params.get_int("simulation", "nt")
+    n_stab = params.get_int("simulation", "n_stab")
+    symmetric = params.get_bool("simulation", "symmetric", False)
+    uneq = params.get_bool("simulation", "isMeasureUnequalTime", False)
+    seed = params.get_int("simulation", "seed", 42)
+    n_walkers = params.get_int("walkers", "n_walkers", 1)
+
+    lat = square_lattice(params.get_int("Lattice", "L1"),
+                         params.get_int("Lattice", "L2"))
+    lat.save_info(os.path.join(out_dir, "info"))
+
+    model = AttractiveHubbard.from_params(params, lat, dtype=dtype)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    log(f"Standard DQMC run: {lat.L1}x{lat.L2} lattice, beta={float(model.beta)}, "
+        f"nt={nt}, {n_walkers} walkers, dtype={dtype.__name__}, "
+        f"backend={jax.default_backend()}")
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_walkers)
+    states = jax.vmap(lambda k: init_state(model, cfg, k))(keys)
+
+    manager = MeasurementManager(lat, n_walkers=n_walkers,
+                                 measure_unequal=uneq, out_dir=out_dir,
+                                 dtype=dtype)
+    manager.add_defaults()
+
+    step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
+    uneq_fn = manager.uneq_measure_fn
+    uneq_step = jax.jit(jax.vmap(
+        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
+    warp = jax.jit(jax.vmap(lambda G: half_warp(model, G)))
+
+    # thermalization (main.cpp:129-137)
+    t0 = time.perf_counter()
+    for _ in range(n_therms):
+        states = step(states)
+    jax.block_until_ready(states.G)
+    dt_therm = time.perf_counter() - t0
+    log(f"Thermalization done in {dt_therm:.2f} seconds")
+
+    # measurement sweeps (main.cpp:144-171)
+    err_uneq_max = 0.0
+    t0 = time.perf_counter()
+    total = n_bins * n_sweeps
+    for isweep in range(1, total + 1):
+        states = step(states)
+        if uneq and uneq_fn is not None:
+            ys, err_u = uneq_step(states)
+            manager.measure_unequal_result(ys)
+            err_uneq_max = max(err_uneq_max, float(jnp.max(err_u)))
+        G = warp(states.G) if symmetric else states.G
+        manager.measure_equal(G)
+        if isweep % n_sweeps == 0:
+            manager.accumulate()
+    jax.block_until_ready(states.G)
+    dt_meas = time.perf_counter() - t0
+    manager.close()
+
+    # summary (main.cpp:180-208); a sweep here = the reference's
+    # forward+backward pair, so acc normalization uses 2 sweeps per pair
+    n_pairs = n_therms + total
+    acc = float(jnp.mean(states.acc_sum)) / (2.0 * n_pairs)
+    err_max = max(float(jnp.max(states.err_max)), err_uneq_max)
+    err_mean = float(jnp.sum(states.err_sum) / jnp.maximum(jnp.sum(states.err_count), 1))
+    sweeps_per_sec = total * n_walkers / dt_meas if dt_meas > 0 else float("inf")
+    h, rem = divmod(int(dt_meas), 3600)
+    m, s = divmod(rem, 60)
+    log(f"DQMC measurement sweeps are finished in {h} hours {m} minutes {s} seconds.")
+    log(f"Average acceptance rate = {acc:.4f}")
+    log(f"Max, Mean Precision Error = {err_max:.4e}, {err_mean:.4e}")
+    log(f"Throughput: {sweeps_per_sec:.3f} walker-sweep-pairs/sec")
+
+    return RunSummary(
+        n_walkers=n_walkers, n_bins=n_bins, n_sweeps=n_sweeps,
+        therm_seconds=dt_therm, measure_seconds=dt_meas,
+        sweeps_per_sec=sweeps_per_sec, acc_rate=acc,
+        max_precision_error=err_max, mean_precision_error=err_mean)
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        prog="dqmc_tpu",
+        description="TPU-native determinant QMC (attractive Hubbard model). "
+                    "Run inside a directory containing parameters.in.")
+    p.add_argument("-f", "--file", default="parameters.in",
+                   help="parameter file (default: parameters.in)")
+    p.add_argument("-d", "--out-dir", default="results",
+                   help="output directory (default: results)")
+    p.add_argument("--platform", default=os.environ.get("DQMC_PLATFORM"),
+                   help="force a jax platform (cpu/tpu/...). Some "
+                        "environments pre-register a platform plugin that "
+                        "overrides JAX_PLATFORMS; this flag wins over both.")
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    params = Parameters(args.file)
+    run_simulation(params, out_dir=args.out_dir)
+
+
+if __name__ == "__main__":
+    main()
