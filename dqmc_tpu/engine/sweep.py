@@ -22,6 +22,14 @@ Two departures from the reference worth naming:
   boundary special cases (dqmc.cpp:141-146, 152-161, 196-215, 253-280) all
   vanish.  ``[I + F·Id]⁻¹ == [I + F]⁻¹`` holds exactly in the stabilized
   formulas (see ops/linalg.py).
+- **Transpose-suffix chain.**  Prefix products B(tau,0) live in the stack
+  in normal LDR form; suffix products B(beta,tau) live as LDRs of their
+  TRANSPOSE.  Every stack extension in both sweep directions is then
+  mat_mul_ldr — a column-graded QR — and the stabilized inverses never
+  solve against an R factor (ops/linalg.py "dag" forms).  This is what
+  makes the engine run in f32 on TPU at large beta, where the reference's
+  row-graded orientation loses all precision (tests/test_linalg.py::
+  test_f32_accuracy_dag_chain).
 - **Streaming block product.**  The reference caches all nt B matrices and
   re-multiplies each block at stabilization time (dqmc.cpp:88-105).  We
   instead accumulate the block product one GEMM per slice inside the scan
@@ -48,9 +56,8 @@ from dqmc_tpu import hsfield
 from dqmc_tpu.engine.state import EngineConfig, WalkerState
 from dqmc_tpu.ops.linalg import (
     LDR,
-    inv_one_plus_ldr_mul_ldr,
-    ldr_mul_ldr,
-    ldr_mul_mat,
+    inv_invldr_plus_ldr_dag,
+    inv_one_plus_ldr_dag,
     mat_mul_ldr,
     to_ldr,
 )
@@ -58,9 +65,8 @@ from dqmc_tpu.ops.linalg import (
 # flavor-batched LDR ops (leading (nfl,) axis)
 _to_ldr_f = jax.vmap(to_ldr)
 _mat_mul_ldr_f = jax.vmap(mat_mul_ldr)
-_ldr_mul_mat_f = jax.vmap(ldr_mul_mat)
-_ldr_mul_ldr_f = jax.vmap(ldr_mul_ldr)
-_inv_pair_f = jax.vmap(inv_one_plus_ldr_mul_ldr)
+_inv_pair_f = jax.vmap(inv_one_plus_ldr_dag)
+_inv_invldr_f = jax.vmap(inv_invldr_plus_ldr_dag)
 
 
 # ----------------------------------------------------------------------
@@ -142,9 +148,13 @@ def rebuild_stack_and_greens(model, cfg: EngineConfig, fields: jax.Array):
     """Build the full right-to-left LDR stack from a field configuration and
     the equal-time G(0,0) = [I + B(beta,0)]^{-1} with its log-determinant.
 
-    Structured as a backward no-update scan: accumulate each block's dense
-    B-product, then fold it into the suffix chain
-    slot[i+1] = slot[i+2] * LDR(Bbar_i)   (cf. dqmc.cpp:46-56).
+    Structured as a backward no-update scan (cf. dqmc.cpp:46-56): accumulate
+    each block's dense B-product, then extend the suffix chain in its
+    TRANSPOSE representation,
+        slot[i+1] = LDR of (Bbar_i^T @ slot[i+2]_matrix)
+    so that slot[i+1]_matrix = B(beta, tau_i)^T — every QR input is
+    column-graded (see ops/linalg.py "dag" docs for why this is the f32-safe
+    orientation).
     """
     nfl, ns = model.n_flavor, model.n_sites
     dtype = model.dtype
@@ -162,9 +172,9 @@ def rebuild_stack_and_greens(model, cfg: EngineConfig, fields: jax.Array):
 
         def fold(args):
             stack, Bbar = args
-            F_i = _to_ldr_f(Bbar)
-            F = _ldr_mul_ldr_f(slot_get(stack, i_stack + 2), F_i)
-            return slot_set(stack, i_stack + 1, F), eyeB
+            T = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
+                               slot_get(stack, i_stack + 2))
+            return slot_set(stack, i_stack + 1, T), eyeB
 
         stack, Bbar = jax.lax.cond(do_stab, fold, lambda a: a, (stack, Bbar))
         return (stack, Bbar), None
@@ -210,18 +220,21 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
 
     def stabilize(G, stack, Bbar, i_stack):
         if forward:
-            # prefix chain: slot[i+1] = Bbar * slot[i];  G(tau,tau) =
-            # [I + B(tau,0) B(beta,tau)]^{-1} with B(beta,tau) read from
-            # slot[i+2] (still holding the previous backward pass's suffix).
+            # prefix chain (normal form): slot[i+1] = Bbar * slot[i];
+            # G(tau,tau) = [I + B(tau,0) B(beta,tau)]^{-1} with the suffix
+            # read from slot[i+2] in TRANSPOSE form (left by the previous
+            # backward pass / init).
             F_new = _mat_mul_ldr_f(Bbar, slot_get(stack, i_stack))
             stack = slot_set(stack, i_stack + 1, F_new)
             G_new, log_det = _inv_pair_f(F_new, slot_get(stack, i_stack + 2))
         else:
-            # suffix chain: slot[i+1] = slot[i+2] * Bbar;  prefix read from
-            # slot[i] (left over from the previous forward pass).
-            F_new = _ldr_mul_mat_f(slot_get(stack, i_stack + 2), Bbar)
-            stack = slot_set(stack, i_stack + 1, F_new)
-            G_new, log_det = _inv_pair_f(slot_get(stack, i_stack), F_new)
+            # suffix chain (transpose form): slot[i+1]_matrix =
+            # Bbar^T @ slot[i+2]_matrix = B(beta,tau)^T; prefix read from
+            # slot[i] in normal form (left by the previous forward pass).
+            T_new = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
+                                   slot_get(stack, i_stack + 2))
+            stack = slot_set(stack, i_stack + 1, T_new)
+            G_new, log_det = _inv_pair_f(slot_get(stack, i_stack), T_new)
         err = jnp.max(jnp.abs(G - G_new))
         return G_new, stack, log_det, err
 

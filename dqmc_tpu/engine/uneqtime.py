@@ -31,14 +31,13 @@ import jax.numpy as jnp
 
 from dqmc_tpu.engine.state import EngineConfig, WalkerState
 from dqmc_tpu.engine.sweep import (
+    _inv_invldr_f,
     _inv_pair_f,
     _mat_mul_ldr_f,
     identity_stack,
     slot_get,
 )
-from dqmc_tpu.ops.linalg import LDR, inv_invldr_plus_ldr
-
-_inv_invldr_f = jax.vmap(inv_invldr_plus_ldr)
+from dqmc_tpu.ops.linalg import LDR
 
 
 class TauGreens(NamedTuple):
@@ -90,10 +89,13 @@ def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
         def stab(args):
             Gtt, Gt0, G0t, Bt0, Bbar = args
             Bt0 = _mat_mul_ldr_f(Bbar, Bt0)
+            # suffix B(beta,tau) read from the stack in TRANSPOSE form
             Bbt = slot_get(state.stack, i_stack + 2)
             Gtt_n, _ = _inv_pair_f(Bt0, Bbt)
             Gt0_n = _inv_invldr_f(Bt0, Bbt)
-            G0t_n = -_inv_invldr_f(Bbt, Bt0)
+            # G0t = -[B(beta,tau)^{-1} + B(tau,0)]^{-1}; by the transpose
+            # identity the same kernel applies with swapped roles, transposed
+            G0t_n = -jnp.swapaxes(_inv_invldr_f(Bbt, Bt0), -1, -2)
             err = jnp.maximum(
                 jnp.max(jnp.abs(Gtt - Gtt_n)),
                 jnp.maximum(jnp.max(jnp.abs(Gt0 - Gt0_n)),

@@ -71,24 +71,57 @@ def ldr_matrix(F: LDR) -> jax.Array:
     return F.L @ (F.d[..., :, None] * F.R)
 
 
-def to_ldr(M: jax.Array) -> LDR:
-    """Factor M -> L * diag(d) * R via column-norm-presorted QR.
+def _log_clamp(dtype) -> float:
+    # d is stored as exp(log_d); the clamp keeps it representable with ample
+    # headroom for the next block product (|B_block| up to ~e^25) and for
+    # squaring-free downstream arithmetic.  Scales beyond the clamp
+    # contribute < eps to every stabilized inverse (D_large only enters
+    # inverted, D_small only as a damping factor), so G is unaffected; only
+    # log|det| saturates, and only for modes with |log d| beyond the clamp
+    # (beta*W ~ 60 in f32, ~600 in f64).
+    return 60.0 if dtype == jnp.float32 else 600.0
 
-    Mirrors the semantics of the reference's pivoted-QR ``to_LDR``
-    (stablelinalg.cpp:35-55): d = |diag(R_qr)| >= 0, R row-rescaled by 1/d,
-    and the column permutation folded back into R so that L*d*R == M.
+
+def to_ldr(M: jax.Array) -> LDR:
+    """Factor M -> L * diag(d) * R via column-presorted QR.
+
+    Same semantics as the reference's pivoted-QR ``to_LDR``
+    (stablelinalg.cpp:35-55): d >= 0, R row-rescaled to a unit-modulus
+    diagonal, column permutation folded back so L*d*R == M.
+
+    Overflow-proof orientation for low precision: columns are pre-normalized
+    by their max-abs scale s_j (computed without squaring), so the QR runs
+    on an O(1) matrix regardless of the propagator's dynamic range; the true
+    scales are re-attached in the log domain:
+
+        d_j   = |Rn_jj| * s_j                    (as exp of clamped logs)
+        R_ij  = (Rn_ij / |Rn_ii|) * exp(log s_j - log s_i)
+
+    In the sorted upper triangle s_j <= s_i, so the scale ratio never
+    exceeds ~1 and R stays well-conditioned.
     """
-    norms = jnp.linalg.norm(M, axis=-2)
-    # descending stable sort of column norms ≈ geqp3's pivot order here
-    perm = jnp.argsort(-norms, stable=True)
+    dtype = M.dtype
+    s = jnp.max(jnp.abs(M), axis=-2)
+    # descending stable sort of column scales ≈ geqp3's pivot order here
+    perm = jnp.argsort(-s, stable=True)
     Mp = jnp.take(M, perm, axis=-1)
-    Q, R = jnp.linalg.qr(Mp)
-    diag = jnp.diagonal(R, axis1=-2, axis2=-1)
-    d = jnp.abs(diag)
-    d_safe = jnp.where(d == 0, jnp.ones_like(d), d)
-    Rn = R / d_safe[..., :, None]
+    sp = jnp.take(s, perm, axis=-1)
+    sp_safe = jnp.where(sp == 0, jnp.ones_like(sp), sp)
+    Q, Rn = jnp.linalg.qr(Mp / sp_safe[..., None, :])
+    diag = jnp.abs(jnp.diagonal(Rn, axis1=-2, axis2=-1))
+    diag_safe = jnp.where(diag == 0, jnp.ones_like(diag), diag)
+    clamp = _log_clamp(dtype)
+    log_sp = jnp.log(sp_safe)
+    log_d = jnp.clip(jnp.log(diag_safe) + log_sp, -clamp, clamp)
+    d = jnp.where((sp == 0) | (diag == 0), jnp.zeros_like(sp),
+                  jnp.exp(log_d))
+    # sorted order makes every needed (upper-triangle) exponent <= 0; the
+    # lower triangle of Rn is zero, so clip to avoid inf * 0 there
+    ratio = jnp.exp(jnp.minimum(
+        log_sp[..., None, :] - log_sp[..., :, None], 0.0))
+    Ru = (Rn / diag_safe[..., :, None]) * ratio
     inv_perm = jnp.argsort(perm)
-    R_final = jnp.take(Rn, inv_perm, axis=-1)
+    R_final = jnp.take(Ru, inv_perm, axis=-1)
     return LDR(Q, d, R_final)
 
 
@@ -166,6 +199,93 @@ def inv_one_plus_ldr_mul_ldr(F1: LDR, F2: LDR) -> Tuple[jax.Array, jax.Array]:
                + jnp.sum(jnp.log(d2l), axis=-1) + logabs)
     G = X @ jnp.linalg.solve(M, Y)
     return G, log_det
+
+
+def _qr_solve_logdet(A: jax.Array, B: jax.Array):
+    """(A^{-1} B, log|det A|) via QR — no LU anywhere.
+
+    XLA:TPU implements QR and TriangularSolve for f64 (emulated) but not
+    LuDecomposition; routing the well-conditioned M-solves through QR makes
+    the whole stabilized path runnable on TPU in either precision, and QR
+    is at least as stable as partial-pivot LU for these O(1)-conditioned
+    systems.
+    """
+    Q, R = jnp.linalg.qr(A)
+    X = jax.lax.linalg.triangular_solve(
+        R, jnp.swapaxes(Q, -1, -2) @ B, left_side=True, lower=False)
+    logabs = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))),
+                     axis=-1)
+    return X, logabs
+
+
+# ----------------------------------------------------------------------
+# transpose-suffix ("dag") stabilized inverses
+# ----------------------------------------------------------------------
+#
+# The reference's formulas (above) feed row-graded matrices diag(d) @ X into
+# QR and solve against R factors — fine in f64, catastrophic in f32 once the
+# d-range exceeds the mantissa (see tests/test_linalg.py::test_f32_accuracy).
+# The TPU-native engine therefore stores suffix propagator products
+# B(beta,tau) as LDRs of their TRANSPOSE:
+#
+#     F2t = (L2, d2, R2)  represents  B2 = F2t_matrix^T = R2^T d2 L2^T.
+#
+# Then every product in both sweep directions is mat_mul_ldr — a
+# column-graded QR, which column-norm presorting handles at columnwise
+# relative accuracy — and the stabilized inverses combine
+#     L1^T @ L2      (orthogonal x orthogonal: perfectly conditioned)
+#     R1 @ R2^T      (well-conditioned x well-conditioned)
+# scaled by D_large^{-1} <= 1 and D_small <= 1, so the M matrix has O(1)
+# entries and its LU solve is f32-safe.  No solve against an R factor
+# remains anywhere.
+
+def inv_one_plus_ldr_dag(F1: LDR, F2t: LDR) -> Tuple[jax.Array, jax.Array]:
+    """G = [I + B1 B2]^{-1} and log|det|, with B1 = F1 (normal form) and
+    B2 given by its transpose factorization F2t (B2 = R2^T d2 L2^T).
+
+    Derivation:
+      I + B1 B2 = L1 D1l [ D1l^{-1} (L1^T L2) D2l^{-1}
+                           + D1s (R1 R2^T) D2s ] D2l L2^T
+      G = L2 D2l^{-1} M^{-1} D1l^{-1} L1^T
+      log|det(I + B1 B2)| = sum log D1l + sum log D2l + log|det M|.
+
+    With F2t = identity this reduces exactly to [I + B1]^{-1}.
+    """
+    d1l, d1s = _split_scales(F1.d)
+    d2l, d2s = _split_scales(F2t.d)
+    L1T = jnp.swapaxes(F1.L, -1, -2)
+    R2T = jnp.swapaxes(F2t.R, -1, -2)
+    M = ((L1T @ F2t.L) / d1l[..., :, None] / d2l[..., None, :]
+         + (d1s[..., :, None] * (F1.R @ R2T)) * d2s[..., None, :])
+    Y = L1T / d1l[..., :, None]
+    X, logabs = _qr_solve_logdet(M, Y)
+    log_det = (jnp.sum(jnp.log(d1l), axis=-1)
+               + jnp.sum(jnp.log(d2l), axis=-1) + logabs)
+    G = (F2t.L / d2l[..., None, :]) @ X
+    return G, log_det
+
+
+def inv_invldr_plus_ldr_dag(F1: LDR, F2t: LDR) -> jax.Array:
+    """G = [B1^{-1} + B2]^{-1} with B2 = F2t_matrix^T (same M as above):
+
+      B1^{-1} + B2 = R1^{-1} D1s^{-1} M D2l L2^T
+      G = L2 D2l^{-1} M^{-1} D1s R1.
+
+    Unequal-time usage: Gt0 = inv_invldr_plus_ldr_dag(Bt0, Bbt_t) and, by
+    the transpose identity [X^{-1}+Y]^{-1} = ([X^{-T}+Y^T]^{-1})^T,
+    G0t = -inv_invldr_plus_ldr_dag(Bbt_t, Bt0)^T — the argument roles swap
+    because each LDR is simultaneously the normal form of one operand and
+    the transpose form of the other.
+    """
+    d1l, d1s = _split_scales(F1.d)
+    d2l, d2s = _split_scales(F2t.d)
+    L1T = jnp.swapaxes(F1.L, -1, -2)
+    R2T = jnp.swapaxes(F2t.R, -1, -2)
+    M = ((L1T @ F2t.L) / d1l[..., :, None] / d2l[..., None, :]
+         + (d1s[..., :, None] * (F1.R @ R2T)) * d2s[..., None, :])
+    Y = d1s[..., :, None] * F1.R
+    X, _ = _qr_solve_logdet(M, Y)
+    return (F2t.L / d2l[..., None, :]) @ X
 
 
 def inv_invldr_plus_ldr(F1: LDR, F2: LDR) -> jax.Array:

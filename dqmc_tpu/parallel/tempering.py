@@ -1,0 +1,207 @@
+"""Parallel tempering (replica exchange) over a replica axis.
+
+Capability mirror of the reference's MPI replica exchange
+(source/update.cpp:34-117, main.cpp:39-73,147-153), re-designed for the
+device-mesh world:
+
+- One replica per leading-axis slot, each with its own beta (hence its own
+  expK/g model leaves — the model pytree is stacked, walkers.stack_models).
+- The even/odd partner pairing alternates with the attempt counter
+  (update.cpp:34-45).
+- Field configurations travel to partners as one permutation of the
+  (R, nt, ns) int array.  On a single chip that's a gather; with the
+  replica axis sharded over a mesh, XLA lowers the same permutation to a
+  `collective-permute` over ICI — no hand-written point-to-point code.
+- The reference's three MPI_Sendrecv round-trips plus an explicit accept
+  message (update.cpp:64-105) collapse into: one field permutation, one
+  scalar-action permutation, and a *shared-randomness* Metropolis coin —
+  both partners draw the same uniform from a pair-indexed key, so the
+  accept decision needs no communication at all.
+- The reference rebuilds stacks twice on rejection (update.cpp:76-80,
+  109-115); here the pre-exchange state is kept and selected back, so the
+  O(nt ns^3 / n_stab) rebuild happens exactly once per attempt.
+
+The joint Metropolis rule is identical: accept with
+min(1, exp(-[S_r(s') + S_p(s'') - S_r(s) - S_p(s)])) on the pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair, half_warp
+from dqmc_tpu.engine.sweep import rebuild_stack_and_greens
+from dqmc_tpu.engine.uneqtime import sweep_unequal_time
+from dqmc_tpu.engine.state import WalkerState
+
+
+def partner_indices(n_replicas: int, attempt: int | jax.Array) -> jax.Array:
+    """Alternating even/odd neighbor pairing (update.cpp:34-45).
+
+    attempt parity 1 (first attempt, matching the reference's pre-increment)
+    pairs (0,1),(2,3),...; parity 0 pairs (1,2),(3,4),...,(R-1,0).
+    """
+    idx = jnp.arange(n_replicas)
+    is_even_attempt = (attempt % 2) == 0
+    offset_even_rank = jnp.where(is_even_attempt, 1, -1)
+    offset = jnp.where(idx % 2 == 0, offset_even_rank, -offset_even_rank)
+    return (idx + offset) % n_replicas
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def replica_exchange(models, cfg: EngineConfig, states: WalkerState,
+                     attempt: jax.Array, key: jax.Array):
+    """One replica-exchange attempt over the leading replica axis.
+
+    Returns (states, accept): accept is the per-replica decision vector
+    (each pair shares one decision).
+    """
+    R = states.fields.shape[0]
+    partner = partner_indices(R, attempt)
+
+    # --- swap field configurations (MPI_Sendrecv, update.cpp:64-66) ---
+    fields_partner = jnp.take(states.fields, partner, axis=0)
+
+    # --- own and cross actions (update.cpp:72-81) ---
+    action = jax.vmap(lambda m, f, ld: m.global_action(f, ld))
+    S_self = action(models, states.fields, states.log_det_M)
+    stack_x, G_x, log_det_x = jax.vmap(
+        lambda m, f: rebuild_stack_and_greens(m, cfg, f))(models, fields_partner)
+    S_cross = action(models, fields_partner, log_det_x)
+
+    # --- joint Metropolis decision with shared randomness (update.cpp:84-105)
+    dS = (S_cross + jnp.take(S_cross, partner)
+          - S_self - jnp.take(S_self, partner))
+    pair_id = jnp.minimum(jnp.arange(R), partner)
+    u_all = jax.random.uniform(key, (R,), dtype=S_self.dtype)
+    u_pair = jnp.take(u_all, pair_id)  # both partners draw the same coin
+    accept = u_pair < jnp.exp(-dS)
+
+    # --- select exchanged vs original state per replica ---
+    def sel(new, old):
+        acc = accept.reshape((R,) + (1,) * (new.ndim - 1))
+        return jnp.where(acc, new, old)
+
+    states = dataclasses.replace(
+        states,
+        fields=sel(fields_partner, states.fields),
+        G=sel(G_x, states.G),
+        stack=jax.tree_util.tree_map(sel, stack_x, states.stack),
+        log_det_M=sel(log_det_x, states.log_det_M),
+    )
+    return states, accept
+
+
+# ----------------------------------------------------------------------
+# PT simulation driver (main.cpp PT branch)
+# ----------------------------------------------------------------------
+
+def run_parallel_tempering(params, *, out_dir: str = "results",
+                           verbose: bool = True):
+    from dqmc_tpu.lattice import square_lattice
+    from dqmc_tpu.measure import MeasurementManager
+    from dqmc_tpu.models import AttractiveHubbard
+    from dqmc_tpu.parallel.walkers import stack_models
+    from dqmc_tpu.run import RunSummary, _resolve_dtype
+
+    log = print if verbose else (lambda *a, **k: None)
+    dtype = _resolve_dtype(params)
+
+    betas = params.get_float_list("ParallelTempering", "betas")
+    exchange_step = params.get_int("ParallelTempering", "sweep_steps")
+    R = len(betas)
+    if R % 2 != 0:
+        raise ValueError(
+            f"number of betas ({R}) must be even for replica exchange")
+
+    n_sweeps = params.get_int("simulation", "n_sweeps")
+    n_therms = params.get_int("simulation", "n_therms")
+    n_bins = params.get_int("simulation", "n_bins")
+    nt = params.get_int("simulation", "nt")
+    n_stab = params.get_int("simulation", "n_stab")
+    symmetric = params.get_bool("simulation", "symmetric", False)
+    uneq = params.get_bool("simulation", "isMeasureUnequalTime", False)
+    seed = params.get_int("simulation", "seed", 42)
+
+    lat = square_lattice(params.get_int("Lattice", "L1"),
+                         params.get_int("Lattice", "L2"))
+    lat.save_info(os.path.join(out_dir, "info"))
+    models = stack_models([
+        AttractiveHubbard.from_params(params, lat, beta=b, dtype=dtype)
+        for b in betas])
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    log(f"Parallel Tempering enabled: {R} replicas, betas={betas}, "
+        f"{lat.L1}x{lat.L2}, nt={nt}, dtype={dtype.__name__}, "
+        f"backend={jax.default_backend()}")
+
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    states = jax.vmap(lambda m, k: init_state(m, cfg, k))(
+        models, jax.random.split(k_init, R))
+
+    manager = MeasurementManager(lat, n_walkers=R, measure_unequal=uneq,
+                                 out_dir=out_dir, dtype=dtype)
+    manager.add_defaults()
+
+    step = jax.jit(jax.vmap(lambda m, s: sweep_pair(m, cfg, s)))
+    uneq_fn = manager.uneq_measure_fn
+    uneq_step = jax.jit(jax.vmap(
+        lambda m, s: sweep_unequal_time(m, cfg, s, measure_fn=uneq_fn)))
+    warp = jax.jit(jax.vmap(lambda m, G: half_warp(m, G)))
+
+    t0 = time.perf_counter()
+    for _ in range(n_therms):
+        states = step(models, states)
+    jax.block_until_ready(states.G)
+    dt_therm = time.perf_counter() - t0
+    log(f"Thermalization done in {dt_therm:.2f} seconds")
+
+    attempt = 0
+    accepted = 0.0
+    err_uneq_max = 0.0
+    total = n_bins * n_sweeps
+    t0 = time.perf_counter()
+    for isweep in range(1, total + 1):
+        if isweep % exchange_step == 0:
+            attempt += 1
+            key, k_ex = jax.random.split(key)
+            states, acc = replica_exchange(models, cfg, states,
+                                           jnp.asarray(attempt), k_ex)
+            accepted += float(jnp.mean(acc))
+        states = step(models, states)
+        if uneq and uneq_fn is not None:
+            ys, err_u = uneq_step(models, states)
+            manager.measure_unequal_result(ys)
+            err_uneq_max = max(err_uneq_max, float(jnp.max(err_u)))
+        G = warp(models, states.G) if symmetric else states.G
+        manager.measure_equal(G)
+        if isweep % n_sweeps == 0:
+            manager.accumulate()
+    jax.block_until_ready(states.G)
+    dt_meas = time.perf_counter() - t0
+    manager.close()
+
+    n_pairs = n_therms + total
+    acc_rate = float(jnp.mean(states.acc_sum)) / (2.0 * n_pairs)
+    err_max = max(float(jnp.max(states.err_max)), err_uneq_max)
+    err_mean = float(jnp.sum(states.err_sum)
+                     / jnp.maximum(jnp.sum(states.err_count), 1))
+    exchange_rate = accepted / attempt if attempt else 0.0
+    sweeps_per_sec = total * R / dt_meas if dt_meas > 0 else float("inf")
+    log(f"Average acceptance rate = {acc_rate:.4f}")
+    log(f"Max, Mean Precision Error = {err_max:.4e}, {err_mean:.4e}")
+    log(f"Parallel tempering exchange rate = {exchange_rate:.4f}")
+
+    return RunSummary(
+        n_walkers=R, n_bins=n_bins, n_sweeps=n_sweeps,
+        therm_seconds=dt_therm, measure_seconds=dt_meas,
+        sweeps_per_sec=sweeps_per_sec, acc_rate=acc_rate,
+        max_precision_error=err_max, mean_precision_error=err_mean,
+        exchange_rate=exchange_rate)
