@@ -1,0 +1,161 @@
+"""Headline benchmark: full DQMC sweep throughput on one TPU chip.
+
+Workload (BASELINE.md): 16x16 square-lattice attractive Hubbard, U=4, t=1,
+mu=0, beta=8, nt=160, n_stab=5, f32, walker-batched.  One "sweep" is the
+reference's per-iteration unit: a forward + backward pair over all time
+slices with Metropolis updates at every site (main.cpp:156-157).
+
+Baseline denominator: the same simulation, one walker, float64, on ONE CPU
+core (XLA:CPU restricted to a single thread) — a stand-in for the
+reference's sequential-MKL rank (its README's execution model), measured in
+a subprocess and cached in .bench_cache.json.
+
+Prints exactly one JSON line to stdout:
+  {"metric": ..., "value": sweeps/sec/chip, "unit": ..., "vs_baseline": x}
+Diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache.json")
+
+L, BETA, NT, NSTAB, U, MU = 16, 8.0, 160, 5, 4.0, 0.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def tpu_throughput(n_walkers: int, inner: int, reps: int):
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair
+    from dqmc_tpu.lattice import square_lattice
+    from dqmc_tpu.models import AttractiveHubbard
+
+    log(f"benchmark device: {jax.devices()[0]}")
+    lat = square_lattice(L, L)
+    model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
+                                    nt=NT, dtype=jnp.float32)
+    cfg = EngineConfig(nt=NT, n_stab=NSTAB)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
+    t0 = time.perf_counter()
+    states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
+    jax.block_until_ready(states.G)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    @jax.jit
+    def chunk(states):
+        def body(s, _):
+            return jax.vmap(lambda w: sweep_pair(model, cfg, w))(s), None
+        states, _ = jax.lax.scan(body, states, None, length=inner)
+        return states
+
+    t0 = time.perf_counter()
+    states = chunk(states)
+    jax.block_until_ready(states.G)
+    log(f"sweep chunk compile+first: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        states = chunk(states)
+    jax.block_until_ready(states.G)
+    dt = time.perf_counter() - t0
+    total_pairs = n_walkers * inner * reps
+    rate = total_pairs / dt
+    n_sweeps = inner * (reps + 1)
+    log(f"TPU: {total_pairs} walker-sweeps in {dt:.2f}s -> {rate:.2f} sweeps/s/chip")
+    log(f"acc={float(states.acc_sum.mean()) / (2 * n_sweeps):.3f} "
+        f"err_max={float(states.err_max.max()):.2e}")
+    return rate
+
+
+_BASELINE_SCRIPT = r"""
+import json, time, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair
+from dqmc_tpu.lattice import square_lattice
+from dqmc_tpu.models import AttractiveHubbard
+
+L, BETA, NT, NSTAB, U, MU = %d, %f, %d, %d, %f, %f
+lat = square_lattice(L, L)
+model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA, nt=NT,
+                                dtype=jnp.float64)
+cfg = EngineConfig(nt=NT, n_stab=NSTAB)
+state = init_state(model, cfg, jax.random.PRNGKey(0))
+step = jax.jit(lambda s: sweep_pair(model, cfg, s))
+state = step(state)
+jax.block_until_ready(state.G)
+t0 = time.perf_counter()
+n = 3
+for _ in range(n):
+    state = step(state)
+jax.block_until_ready(state.G)
+print(json.dumps({"cpu_sweeps_per_sec": n / (time.perf_counter() - t0)}))
+"""
+
+
+def cpu_baseline() -> float:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cached = json.load(f)
+        if cached.get("config") == [L, BETA, NT, NSTAB]:
+            log(f"cpu baseline (cached): {cached['rate']:.4f} sweeps/s/core")
+            return cached["rate"]
+    log("measuring single-core CPU f64 baseline (subprocess)...")
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_cpu_multi_thread_eigen=false "
+                     "intra_op_parallelism_threads=1",
+        "OMP_NUM_THREADS": "1",
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    })
+    script = _BASELINE_SCRIPT % (L, BETA, NT, NSTAB, U, MU)
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=3600)
+    if out.returncode != 0:
+        log("baseline subprocess failed:", out.stderr[-2000:])
+        return float("nan")
+    rate = json.loads(out.stdout.strip().splitlines()[-1])["cpu_sweeps_per_sec"]
+    log(f"cpu baseline: {rate:.4f} sweeps/s/core")
+    with open(CACHE, "w") as f:
+        json.dump({"config": [L, BETA, NT, NSTAB], "rate": rate}, f)
+    return rate
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--walkers", type=int, default=8)
+    p.add_argument("--inner", type=int, default=4,
+                   help="sweep-pairs per jitted chunk")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--skip-baseline", action="store_true")
+    args = p.parse_args()
+
+    sys.path.insert(0, REPO)
+    rate = tpu_throughput(args.walkers, args.inner, args.reps)
+    baseline = float("nan") if args.skip_baseline else cpu_baseline()
+    vs = rate / baseline if baseline == baseline and baseline > 0 else None
+    print(json.dumps({
+        "metric": f"full sweeps/sec/chip ({L}x{L} beta={BETA} U={U} Hubbard, "
+                  f"nt={NT}, f32, {args.walkers} walkers)",
+        "value": round(rate, 3),
+        "unit": "sweeps/s/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
