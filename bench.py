@@ -44,7 +44,7 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int):
     lat = square_lattice(L, L)
     model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
                                     nt=NT, dtype=jnp.float32)
-    cfg = EngineConfig(nt=NT, n_stab=NSTAB)
+    cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
     t0 = time.perf_counter()

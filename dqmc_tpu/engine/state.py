@@ -30,10 +30,24 @@ class EngineConfig:
 
     nt: int
     n_stab: int
+    # Delayed-update rank: 0 = plain rank-1 Sherman-Morrison per site;
+    # k > 0 = accumulate up to k rank-1 terms in (ns, k) buffers and apply
+    # them as ONE rank-k GEMM per block of k sites (exact same sequential
+    # Markov chain, identical accept/reject stream — only the linear
+    # algebra is reorganized onto the MXU; see sweep.local_update_slice).
+    delay_rank: int = 0
+    # Run the Metropolis site loop as one VMEM-resident Pallas program per
+    # walker (ops/kernels.py) — same Markov chain, ~2x faster than the scan
+    # on TPU.  Takes precedence over delay_rank; single-flavor models only.
+    # On CPU backends the kernel runs in (slow) interpret mode, so leave
+    # this off for CPU runs.
+    use_pallas: bool = False
 
     def __post_init__(self):
         if self.nt <= 0 or self.n_stab <= 0:
             raise ValueError("nt and n_stab must be positive")
+        if self.delay_rank < 0:
+            raise ValueError("delay_rank must be >= 0")
 
     @property
     def n_stack(self) -> int:

@@ -94,6 +94,19 @@ def identity_stack(nfl: int, n_slots: int, ns: int, dtype) -> LDR:
 # local Metropolis updates over one time slice (update.cpp:5-32)
 # ----------------------------------------------------------------------
 
+def draw_slice_randoms(key: jax.Array, ns: int, dtype):
+    """The per-slice random stream: (visit order, proposal draws, uniforms).
+
+    Shared by every site-update implementation (scan, delayed, pallas) so
+    they all realize the *identical* Markov chain from the same key.
+    """
+    kperm, kprop, kacc = jax.random.split(key, 3)
+    order = jax.random.permutation(kperm, ns)
+    props = jax.random.randint(kprop, (ns,), 0, 3)
+    us = jax.random.uniform(kacc, (ns,), dtype=dtype)
+    return order, props, us
+
+
 def local_update_slice(model, key: jax.Array, G: jax.Array,
                        fields_l: jax.Array):
     """Sequential Metropolis sweep over all sites of one time slice.
@@ -109,10 +122,7 @@ def local_update_slice(model, key: jax.Array, G: jax.Array,
     """
     ns = model.n_sites
     dtype = G.dtype
-    kperm, kprop, kacc = jax.random.split(key, 3)
-    order = jax.random.permutation(kperm, ns)
-    props = jax.random.randint(kprop, (ns,), 0, 3)
-    us = jax.random.uniform(kacc, (ns,), dtype=dtype)
+    order, props, us = draw_slice_randoms(key, ns, dtype)
     proposal_table = jnp.asarray(hsfield.PROPOSAL)
 
     def step(carry, xs):
@@ -136,6 +146,80 @@ def local_update_slice(model, key: jax.Array, G: jax.Array,
 
     init = (G, fields_l, jnp.zeros((), dtype))
     (G, fields_l, acc), _ = jax.lax.scan(step, init, (order, props, us))
+    return G, fields_l, acc / ns
+
+
+def local_update_slice_delayed(model, key: jax.Array, G: jax.Array,
+                               fields_l: jax.Array, k_max: int):
+    """Delayed rank-k variant of `local_update_slice` — the exact same
+    Markov chain (identical random stream and accept/reject decisions), with
+    the linear algebra reorganized for the MXU.
+
+    Instead of applying each accepted rank-1 Sherman-Morrison update to the
+    full (ns, ns) Green's function, accepted updates accumulate into
+    U (ns, k) / V (k, ns) buffers; each site reads its effective row/column
+
+        g_row = G[i, :] + U[i, :] @ V,    g_col = G[:, i] + U @ V[:, i]
+
+    at O(ns k) cost, and every k sites the block flushes as ONE rank-k GEMM
+    G += U @ V.  Total FLOPs match the rank-1 scheme, but the sequential
+    dependency chain only carries O(ns k) work per step and the O(ns^2 k)
+    work lands in dense matmuls (delayed-update scheme of the QMC
+    literature, cf. PAPERS.md).
+    """
+    ns, nfl = model.n_sites, model.n_flavor
+    dtype = G.dtype
+    n_blocks = -(-ns // k_max)
+    pad = n_blocks * k_max - ns
+
+    # identical random stream to the rank-1 path: draw (ns,) then pad
+    order, props, us = draw_slice_randoms(key, ns, dtype)
+    valid = jnp.ones((ns,), dtype=bool)
+    if pad:
+        order = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+        props = jnp.concatenate([props, jnp.zeros((pad,), props.dtype)])
+        us = jnp.concatenate([us, jnp.ones((pad,), dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), dtype=bool)])
+    proposal_table = jnp.asarray(hsfield.PROPOSAL)
+    slots = jnp.tile(jnp.arange(k_max), (n_blocks, 1))
+
+    def block(carry, xs):
+        G, fields_l, acc = carry
+        o_b, r_b, u_b, valid_b, slot_b = xs
+        U0 = jnp.zeros((nfl, ns, k_max), dtype)
+        V0 = jnp.zeros((nfl, k_max, ns), dtype)
+
+        def site(c, x):
+            U, V, fields_l, acc = c
+            slot, i, r, u, ok = x
+            old = fields_l[i]
+            new = proposal_table[old, r]
+            gammaR, bosonR, delta = model.update_factors(old, new)
+            # effective row/column of G under the pending low-rank terms
+            g_row = G[:, i, :] + jnp.einsum("fk,fkn->fn", U[:, i, :], V)
+            g_col = G[:, :, i] + jnp.einsum("fnk,fk->fn", U, V[:, :, i])
+            G_ii = g_row[:, i]
+            r_flv = 1.0 + (1.0 - G_ii) * delta
+            R = gammaR * bosonR * jnp.prod(r_flv) ** model.det_power
+            accept = ok & (u < jnp.minimum(1.0, jnp.abs(R)))
+            prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
+            e_i = jax.nn.one_hot(i, ns, dtype=dtype)
+            u_new = prefac[:, None] * g_col          # (nfl, ns)
+            v_new = g_row - e_i[None, :]             # (nfl, ns)
+            U = jax.lax.dynamic_update_index_in_dim(U, u_new, slot, axis=2)
+            V = jax.lax.dynamic_update_index_in_dim(V, v_new, slot, axis=1)
+            fields_l = fields_l.at[i].set(jnp.where(accept, new, old))
+            return (U, V, fields_l, acc + accept.astype(dtype)), None
+
+        (U, V, fields_l, acc), _ = jax.lax.scan(
+            site, (U0, V0, fields_l, acc), (slot_b, o_b, r_b, u_b, valid_b))
+        G = G + U @ V                                # rank-k flush (MXU)
+        return (G, fields_l, acc), None
+
+    xs = tuple(a.reshape(n_blocks, k_max) for a in (order, props, us, valid))
+    xs = xs + (slots,)
+    (G, fields_l, acc), _ = jax.lax.scan(
+        block, (G, fields_l, jnp.zeros((), dtype)), xs)
     return G, fields_l, acc / ns
 
 
@@ -249,7 +333,21 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
 
         if update:
             key, k_slice = jax.random.split(key)
-            G, fields_l, acc_l = local_update_slice(model, k_slice, G, fields_l)
+            if cfg.use_pallas:
+                if model.n_flavor != 1 or model.det_power != 2:
+                    raise NotImplementedError(
+                        "pallas site-update kernel supports single-flavor "
+                        "det_power=2 models; use delay_rank/scan instead")
+                from dqmc_tpu.ops.kernels import metropolis_slice_update
+                interpret = jax.default_backend() == "cpu"
+                G, fields_l, acc_l = metropolis_slice_update(
+                    model, k_slice, G, fields_l, interpret=interpret)
+            elif cfg.delay_rank > 0:
+                G, fields_l, acc_l = local_update_slice_delayed(
+                    model, k_slice, G, fields_l, cfg.delay_rank)
+            else:
+                G, fields_l, acc_l = local_update_slice(model, k_slice, G,
+                                                        fields_l)
             acc = acc + acc_l / cfg.nt
             fields = fields.at[l].set(fields_l)
 

@@ -109,7 +109,7 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     from dqmc_tpu.measure import MeasurementManager
     from dqmc_tpu.models import AttractiveHubbard
     from dqmc_tpu.parallel.walkers import stack_models
-    from dqmc_tpu.run import RunSummary, _resolve_dtype
+    from dqmc_tpu.run import RunSummary, _resolve_dtype, make_engine_config
 
     log = print if verbose else (lambda *a, **k: None)
     dtype = _resolve_dtype(params)
@@ -136,7 +136,7 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     models = stack_models([
         AttractiveHubbard.from_params(params, lat, beta=b, dtype=dtype)
         for b in betas])
-    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    cfg = make_engine_config(params, models)
     log(f"Parallel Tempering enabled: {R} replicas, betas={betas}, "
         f"{lat.L1}x{lat.L2}, nt={nt}, dtype={dtype.__name__}, "
         f"backend={jax.default_backend()}")

@@ -54,6 +54,26 @@ def _resolve_dtype(params: Parameters):
     return default_dtype()
 
 
+def make_engine_config(params: Parameters, model) -> EngineConfig:
+    """EngineConfig from the [simulation] section.
+
+    Site-update implementation: 'pallas' (default on accelerators for
+    single-flavor models), 'scan', or 'delayed' (with delay_rank).
+    """
+    nt = params.get_int("simulation", "nt")
+    n_stab = params.get_int("simulation", "n_stab")
+    default_impl = ("pallas" if jax.default_backend() != "cpu"
+                    and model.n_flavor == 1 and model.det_power == 2
+                    else "scan")
+    impl = params.get_str("simulation", "site_update", default_impl)
+    delay = params.get_int("simulation", "delay_rank", 32)
+    if impl == "pallas":
+        return EngineConfig(nt=nt, n_stab=n_stab, use_pallas=True)
+    if impl == "delayed":
+        return EngineConfig(nt=nt, n_stab=n_stab, delay_rank=delay)
+    return EngineConfig(nt=nt, n_stab=n_stab)
+
+
 @dataclasses.dataclass
 class RunSummary:
     n_walkers: int
@@ -93,7 +113,7 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     lat.save_info(os.path.join(out_dir, "info"))
 
     model = AttractiveHubbard.from_params(params, lat, dtype=dtype)
-    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    cfg = make_engine_config(params, model)
     log(f"Standard DQMC run: {lat.L1}x{lat.L2} lattice, beta={float(model.beta)}, "
         f"nt={nt}, {n_walkers} walkers, dtype={dtype.__name__}, "
         f"backend={jax.default_backend()}")
