@@ -33,11 +33,12 @@ import numpy as np
 class BinFileWriter:
     """One walker's (``rank``'s) binned output file."""
 
-    def __init__(self, path: str | os.PathLike):
+    def __init__(self, path: str | os.PathLike, mode: str = "w"):
         d = os.path.dirname(str(path))
         if d:
             os.makedirs(d, exist_ok=True)
-        self._f = h5py.File(path, "w")
+        # "w" truncates (fresh run); "a" appends further bins (resume)
+        self._f = h5py.File(path, mode)
 
     def write_bin(
         self,

@@ -40,7 +40,8 @@ from dqmc_tpu.measure.transforms import site_to_r
 class MeasurementManager:
     def __init__(self, lat: Lattice, *, n_walkers: int = 1,
                  measure_unequal: bool = False, out_dir: str = "results",
-                 rank_offset: int = 0, dtype=jnp.float64):
+                 rank_offset: int = 0, dtype=jnp.float64,
+                 start_bin: int = 0, file_mode: str = "w"):
         self.lat = lat
         self.ctx = make_context(lat, dtype)
         self.n_walkers = n_walkers
@@ -58,7 +59,8 @@ class MeasurementManager:
         self._acc_uneq: Dict[str, jax.Array] = {}
         self._eq_count = 0
         self._uneq_count = 0
-        self.current_bin = 0
+        self.current_bin = start_bin       # resume continues bin numbering
+        self._file_mode = file_mode        # "a" on resume
 
         self._measure_eq_jit = None
         self._uneq_measure_fn = None
@@ -163,7 +165,7 @@ class MeasurementManager:
         if w not in self._writers:
             path = os.path.join(self.out_dir,
                                 f"data_{self.rank_offset + w}.h5")
-            self._writers[w] = BinFileWriter(path)
+            self._writers[w] = BinFileWriter(path, mode=self._file_mode)
         return self._writers[w]
 
     def accumulate(self) -> None:

@@ -1,6 +1,15 @@
 """Attractive Hubbard model on a periodic lattice.
 
-    H = -t sum_<ij> c_i^dag c_j - mu sum_i n_i - U sum_i n_{iu} n_{id}
+    H = -t sum_<ij> c_i^dag c_j - mu sum_i n_i
+        - U sum_i (n_{iu} - 1/2)(n_{id} - 1/2)
+
+Convention note: the reference README states the interaction as
+-U n_u n_d, but the GHQ decoupling it (and we) implement —
+exp(dtau U/2 (n-1)^2) with weights gamma and nodes eta (field.h:36-43,
+model.cpp:27-28,62-72) — corresponds to the particle-hole-symmetric form
+above: half filling sits at mu = 0 (the example config uses mu = -0.1 as
+"near half filling", main.cpp/examples).  Validated against exact
+diagonalization in tests/test_ed.py.
 
 Capability mirror of the reference ``AttractiveHubbard`` (source/model.cpp:
 3-159, include/model.h:11-58).  After the 4-state GHQ Hubbard–Stratonovich

@@ -121,9 +121,23 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     keys = jax.random.split(jax.random.PRNGKey(seed), n_walkers)
     states = jax.vmap(lambda k: init_state(model, cfg, k))(keys)
 
+    # --- checkpoint / resume (absent in the reference; SURVEY.md section 5)
+    ckpt_every = params.get_int("simulation", "checkpoint_every", 0)
+    ckpt_path = params.get_str("simulation", "checkpoint_path",
+                               os.path.join(out_dir, "checkpoint.npz"))
+    start_bin = 0
+    therm_done = False
+    if ckpt_every > 0 and os.path.exists(ckpt_path):
+        from dqmc_tpu.io.checkpoint import load_checkpoint
+        states, meta = load_checkpoint(ckpt_path, states)
+        start_bin = int(meta["bin"])
+        therm_done = bool(meta.get("therm_done", True))
+        log(f"Resumed from {ckpt_path} at bin {start_bin}")
+
     manager = MeasurementManager(lat, n_walkers=n_walkers,
                                  measure_unequal=uneq, out_dir=out_dir,
-                                 dtype=dtype)
+                                 dtype=dtype, start_bin=start_bin,
+                                 file_mode="a" if start_bin else "w")
     manager.add_defaults()
 
     step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
@@ -132,18 +146,29 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
     warp = jax.jit(jax.vmap(lambda G: half_warp(model, G)))
 
+    def checkpoint(therm_flag: bool):
+        if ckpt_every <= 0:
+            return
+        from dqmc_tpu.io.checkpoint import save_checkpoint
+        jax.block_until_ready(states.G)
+        save_checkpoint(ckpt_path, states,
+                        {"bin": manager.current_bin, "therm_done": therm_flag,
+                         "seed": seed, "n_walkers": n_walkers})
+
     # thermalization (main.cpp:129-137)
     t0 = time.perf_counter()
-    for _ in range(n_therms):
-        states = step(states)
-    jax.block_until_ready(states.G)
+    if not therm_done:
+        for _ in range(n_therms):
+            states = step(states)
+        jax.block_until_ready(states.G)
+        checkpoint(True)
     dt_therm = time.perf_counter() - t0
     log(f"Thermalization done in {dt_therm:.2f} seconds")
 
     # measurement sweeps (main.cpp:144-171)
     err_uneq_max = 0.0
     t0 = time.perf_counter()
-    total = n_bins * n_sweeps
+    total = (n_bins - start_bin) * n_sweeps
     for isweep in range(1, total + 1):
         states = step(states)
         if uneq and uneq_fn is not None:
@@ -154,6 +179,8 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         manager.measure_equal(G)
         if isweep % n_sweeps == 0:
             manager.accumulate()
+            if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:
+                checkpoint(True)
     jax.block_until_ready(states.G)
     dt_meas = time.perf_counter() - t0
     manager.close()
