@@ -14,8 +14,20 @@ from typing import Tuple
 import numpy as np
 
 
-def jackknife(data: np.ndarray) -> Tuple[float, float]:
-    """(mean, error) over a 1D array of bin values."""
+def jackknife(data: np.ndarray, use_native: bool = False) -> Tuple[float, float]:
+    """(mean, error) over a 1D array of bin values.
+
+    use_native routes through the C++ statistics core (dqmc_tpu.native)
+    when available — mathematically identical (the delete-1 estimator
+    reduces to sqrt(sum (x-mean)^2 / (n(n-1)))), different only in rounding
+    order; the numpy path stays the default for bit-compatibility with the
+    reference toolchain's output files.
+    """
+    if use_native:
+        from dqmc_tpu import native
+        res = native.jackknife_native(np.asarray(data))
+        if res is not None:
+            return float(res[0]), float(res[1])
     data = np.asarray(data)
     n = len(data)
     if n < 2:
@@ -26,10 +38,16 @@ def jackknife(data: np.ndarray) -> Tuple[float, float]:
     return float(full_mean), float(np.sqrt(var))
 
 
-def jackknife_array(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def jackknife_array(data: np.ndarray,
+                    use_native: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Elementwise jackknife over axis 0 (bins).  Complex data uses direct
     complex arithmetic ((theta - mean)**2, not |theta - mean|^2), matching
     the reference (analysis.py:286-296)."""
+    if use_native:
+        from dqmc_tpu import native
+        res = native.jackknife_native(np.asarray(data))
+        if res is not None:
+            return res
     data = np.asarray(data)
     n = data.shape[0]
     if n < 2:

@@ -41,7 +41,8 @@ class MeasurementManager:
     def __init__(self, lat: Lattice, *, n_walkers: int = 1,
                  measure_unequal: bool = False, out_dir: str = "results",
                  rank_offset: int = 0, dtype=jnp.float64,
-                 start_bin: int = 0, file_mode: str = "w"):
+                 start_bin: int = 0, file_mode: str = "w",
+                 sink: str = "h5"):
         self.lat = lat
         self.ctx = make_context(lat, dtype)
         self.n_walkers = n_walkers
@@ -61,6 +62,23 @@ class MeasurementManager:
         self._uneq_count = 0
         self.current_bin = start_bin       # resume continues bin numbering
         self._file_mode = file_mode        # "a" on resume
+        # sink "h5": synchronous h5py writes (reference behavior);
+        # sink "spool": async C++ background writer (io/spool.py), converted
+        # to the same HDF5 layout at close().  Falls back to h5 when the
+        # native library is unavailable or when resuming (append).
+        self._sink = sink
+        self._spools = None
+        if sink == "spool" and file_mode == "w":
+            try:
+                from dqmc_tpu.io.spool import Spool
+                self._spools = {
+                    w: Spool(os.path.join(out_dir,
+                                          f"data_{rank_offset + w}.spool"))
+                    for w in range(n_walkers)}
+            except Exception:
+                self._sink = "h5"
+        else:
+            self._sink = "h5"
 
         self._measure_eq_jit = None
         self._uneq_measure_fn = None
@@ -187,15 +205,26 @@ class MeasurementManager:
             uneq_r[n] = a
 
         for w in range(self.n_walkers):
-            writer = self._writer(w)
-            writer.write_bin(
-                self.current_bin,
-                {n: float(v[w]) for n, v in scalars.items()},
-                {n: v[w] for n, v in eq_r.items()},
-                {n: to_k(v[w]) for n, v in eq_r.items()},
-                {n: v[w] for n, v in uneq_r.items()},
-                {n: to_k(v[w]) for n, v in uneq_r.items()},
-            )
+            if self._spools is not None:
+                sp = self._spools[w]
+                b = self.current_bin
+                for n, v in scalars.items():
+                    sp.write(f"scalar/{n}", b, np.asarray([v[w]]))
+                for n, v in eq_r.items():
+                    sp.write(f"equaltime/{n}", b, v[w])
+                    sp.write(f"K/equaltime/{n}", b, to_k(v[w]))
+                for n, v in uneq_r.items():
+                    sp.write(f"unequaltime/{n}", b, v[w])
+                    sp.write(f"K/unequaltime/{n}", b, to_k(v[w]))
+            else:
+                self._writer(w).write_bin(
+                    self.current_bin,
+                    {n: float(v[w]) for n, v in scalars.items()},
+                    {n: v[w] for n, v in eq_r.items()},
+                    {n: to_k(v[w]) for n, v in eq_r.items()},
+                    {n: v[w] for n, v in uneq_r.items()},
+                    {n: to_k(v[w]) for n, v in uneq_r.items()},
+                )
 
         self._acc_scalar.clear()
         self._acc_eq.clear()
@@ -208,3 +237,12 @@ class MeasurementManager:
         for w in (self._writers or {}).values():
             w.close()
         self._writers = None
+        if self._spools is not None:
+            from dqmc_tpu.io.spool import convert_spool_to_h5
+            for w, sp in self._spools.items():
+                sp.close()
+                path = os.path.join(self.out_dir,
+                                    f"data_{self.rank_offset + w}")
+                convert_spool_to_h5(path + ".spool", path + ".h5")
+                os.unlink(path + ".spool")
+            self._spools = None

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 from typing import Optional
 
@@ -137,8 +138,18 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     manager = MeasurementManager(lat, n_walkers=n_walkers,
                                  measure_unequal=uneq, out_dir=out_dir,
                                  dtype=dtype, start_bin=start_bin,
-                                 file_mode="a" if start_bin else "w")
+                                 file_mode="a" if start_bin else "w",
+                                 sink=params.get_str("io", "sink", "h5"))
     manager.add_defaults()
+
+    # runtime observability: reference warns when the naive-vs-stabilized
+    # deviation exceeds 1e-6 (dqmc.cpp:390-393); the sane threshold is
+    # dtype-dependent here
+    err_warn = params.get_float(
+        "simulation", "err_warn_threshold",
+        1e-6 if dtype == jnp.float64 else 1e-1)
+    warned = False
+    profile_dir = params.get_str("simulation", "profile_dir", "")
 
     step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
     uneq_fn = manager.uneq_measure_fn
@@ -169,6 +180,9 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     err_uneq_max = 0.0
     t0 = time.perf_counter()
     total = (n_bins - start_bin) * n_sweeps
+    if profile_dir:
+        # jax.profiler trace of a few representative measured sweeps
+        jax.profiler.start_trace(profile_dir)
     for isweep in range(1, total + 1):
         states = step(states)
         if uneq and uneq_fn is not None:
@@ -177,8 +191,20 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
             err_uneq_max = max(err_uneq_max, float(jnp.max(err_u)))
         G = warp(states.G) if symmetric else states.G
         manager.measure_equal(G)
+        if profile_dir and isweep == min(3, total):
+            jax.block_until_ready(states.G)
+            jax.profiler.stop_trace()
+            log(f"Profiler trace written to {profile_dir}")
+            profile_dir = ""
         if isweep % n_sweeps == 0:
             manager.accumulate()
+            if not warned:
+                cur_err = float(jnp.max(states.err_max))
+                if cur_err > err_warn:
+                    print(f"WARNING: GF precision {cur_err:.3e} exceeds "
+                          f"{err_warn:.1e}. Reduce n_stab or increase nt.",
+                          file=sys.stderr)
+                    warned = True
             if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:
                 checkpoint(True)
     jax.block_until_ready(states.G)
