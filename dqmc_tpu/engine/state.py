@@ -100,6 +100,10 @@ class WalkerState:
     - log_det_M: (nfl,) log|det(I + B(beta,0))|, refreshed at every
       stabilization.
     - key: jax.random key for this walker's chain.
+    - sign: current Metropolis sign of the configuration weight (+1 always
+      for the sign-free attractive model; flips on accepted negative-ratio
+      moves for multi-flavor models — measurements should be reweighted by
+      <O s>/<s>).
     - acc_sum / err_*: running acceptance and stabilization-precision
       statistics (cf. dqmc.cpp:317-329, main.cpp:183).
     """
@@ -110,6 +114,7 @@ class WalkerState:
     log_det_M: jax.Array
     key: jax.Array
     acc_sum: jax.Array
+    sign: jax.Array
     err_max: jax.Array
     err_sum: jax.Array
     err_count: jax.Array

@@ -120,13 +120,20 @@ def local_update_slice(model, key: jax.Array, G: jax.Array,
 
     Returns (G, fields_l, acceptance_fraction).
     """
+    order, props, us = draw_slice_randoms(key, model.n_sites, G.dtype)
+    return local_update_core(model, G, fields_l, order, props, us)
+
+
+def local_update_core(model, G: jax.Array, fields_l: jax.Array,
+                      order: jax.Array, props: jax.Array, us: jax.Array):
+    """The sequential site loop with an explicit random stream (used by all
+    implementations' equivalence tests)."""
     ns = model.n_sites
     dtype = G.dtype
-    order, props, us = draw_slice_randoms(key, ns, dtype)
     proposal_table = jnp.asarray(hsfield.PROPOSAL)
 
     def step(carry, xs):
-        G, fields_l, acc = carry
+        G, fields_l, acc, sgn = carry
         i, r, u = xs
         old = fields_l[i]
         new = proposal_table[old, r]
@@ -135,6 +142,10 @@ def local_update_slice(model, key: jax.Array, G: jax.Array,
         r_flv = 1.0 + (1.0 - G_ii) * delta      # (nfl,)
         R = gammaR * bosonR * jnp.prod(r_flv) ** model.det_power
         accept = u < jnp.minimum(1.0, jnp.abs(R))
+        # Metropolis on |R|; an accepted negative-ratio move flips the
+        # configuration's sign (sign-problem bookkeeping for multi-flavor
+        # models; identically +1 for the attractive model)
+        sgn = jnp.where(accept & (R < 0), -sgn, sgn)
         # G'_{jk} = G_{jk} + prefac * G_{ji} (G_{ik} - delta_{ik})
         prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
         e_i = jax.nn.one_hot(i, ns, dtype=dtype)
@@ -142,11 +153,11 @@ def local_update_slice(model, key: jax.Array, G: jax.Array,
         v_vec = G[:, i, :] - e_i[None, :]       # (nfl, ns)
         G = G + prefac[:, None, None] * (u_vec[:, :, None] * v_vec[:, None, :])
         fields_l = fields_l.at[i].set(jnp.where(accept, new, old))
-        return (G, fields_l, acc + accept.astype(dtype)), None
+        return (G, fields_l, acc + accept.astype(dtype), sgn), None
 
-    init = (G, fields_l, jnp.zeros((), dtype))
-    (G, fields_l, acc), _ = jax.lax.scan(step, init, (order, props, us))
-    return G, fields_l, acc / ns
+    init = (G, fields_l, jnp.zeros((), dtype), jnp.ones((), dtype))
+    (G, fields_l, acc, sgn), _ = jax.lax.scan(step, init, (order, props, us))
+    return G, fields_l, acc / ns, sgn
 
 
 def local_update_slice_delayed(model, key: jax.Array, G: jax.Array,
@@ -184,13 +195,13 @@ def local_update_slice_delayed(model, key: jax.Array, G: jax.Array,
     slots = jnp.tile(jnp.arange(k_max), (n_blocks, 1))
 
     def block(carry, xs):
-        G, fields_l, acc = carry
+        G, fields_l, acc, sgn = carry
         o_b, r_b, u_b, valid_b, slot_b = xs
         U0 = jnp.zeros((nfl, ns, k_max), dtype)
         V0 = jnp.zeros((nfl, k_max, ns), dtype)
 
         def site(c, x):
-            U, V, fields_l, acc = c
+            U, V, fields_l, acc, sgn = c
             slot, i, r, u, ok = x
             old = fields_l[i]
             new = proposal_table[old, r]
@@ -202,6 +213,7 @@ def local_update_slice_delayed(model, key: jax.Array, G: jax.Array,
             r_flv = 1.0 + (1.0 - G_ii) * delta
             R = gammaR * bosonR * jnp.prod(r_flv) ** model.det_power
             accept = ok & (u < jnp.minimum(1.0, jnp.abs(R)))
+            sgn = jnp.where(accept & (R < 0), -sgn, sgn)
             prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
             e_i = jax.nn.one_hot(i, ns, dtype=dtype)
             u_new = prefac[:, None] * g_col          # (nfl, ns)
@@ -209,18 +221,19 @@ def local_update_slice_delayed(model, key: jax.Array, G: jax.Array,
             U = jax.lax.dynamic_update_index_in_dim(U, u_new, slot, axis=2)
             V = jax.lax.dynamic_update_index_in_dim(V, v_new, slot, axis=1)
             fields_l = fields_l.at[i].set(jnp.where(accept, new, old))
-            return (U, V, fields_l, acc + accept.astype(dtype)), None
+            return (U, V, fields_l, acc + accept.astype(dtype), sgn), None
 
-        (U, V, fields_l, acc), _ = jax.lax.scan(
-            site, (U0, V0, fields_l, acc), (slot_b, o_b, r_b, u_b, valid_b))
+        (U, V, fields_l, acc, sgn), _ = jax.lax.scan(
+            site, (U0, V0, fields_l, acc, sgn),
+            (slot_b, o_b, r_b, u_b, valid_b))
         G = G + U @ V                                # rank-k flush (MXU)
-        return (G, fields_l, acc), None
+        return (G, fields_l, acc, sgn), None
 
     xs = tuple(a.reshape(n_blocks, k_max) for a in (order, props, us, valid))
     xs = xs + (slots,)
-    (G, fields_l, acc), _ = jax.lax.scan(
-        block, (G, fields_l, jnp.zeros((), dtype)), xs)
-    return G, fields_l, acc / ns
+    (G, fields_l, acc, sgn), _ = jax.lax.scan(
+        block, (G, fields_l, jnp.zeros((), dtype), jnp.ones((), dtype)), xs)
+    return G, fields_l, acc / ns, sgn
 
 
 # ----------------------------------------------------------------------
@@ -276,7 +289,8 @@ def init_state(model, cfg: EngineConfig, key: jax.Array) -> WalkerState:
     z = jnp.zeros((), model.dtype)
     return WalkerState(
         fields=fields, G=G, stack=stack, log_det_M=log_det_M, key=kchain,
-        acc_sum=z, err_max=z, err_sum=z, err_count=z,
+        acc_sum=z, sign=jnp.ones((), model.dtype), err_max=z, err_sum=z,
+        err_count=z,
     )
 
 
@@ -323,7 +337,8 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
         return G_new, stack, log_det, err
 
     def slice_step(carry, x):
-        fields, G, stack, log_det_M, Bbar, key, acc, emax, esum, ecnt = carry
+        (fields, G, stack, log_det_M, Bbar, key, acc, sign, emax, esum,
+         ecnt) = carry
         l, i_stack, do_stab = x
         fields_l = jnp.take(fields, l, axis=0)
 
@@ -338,16 +353,18 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
                     raise NotImplementedError(
                         "pallas site-update kernel supports single-flavor "
                         "det_power=2 models; use delay_rank/scan instead")
-                from dqmc_tpu.ops.kernels import metropolis_slice_update
-                interpret = jax.default_backend() == "cpu"
-                G, fields_l, acc_l = metropolis_slice_update(
-                    model, k_slice, G, fields_l, interpret=interpret)
+                from dqmc_tpu.ops.kernels import pallas_site_update
+                # pallas kernels serve sign-free models only; sign unchanged
+                G, fields_l, acc_l = pallas_site_update(
+                    model, k_slice, G, fields_l)
             elif cfg.delay_rank > 0:
-                G, fields_l, acc_l = local_update_slice_delayed(
+                G, fields_l, acc_l, sgn_l = local_update_slice_delayed(
                     model, k_slice, G, fields_l, cfg.delay_rank)
+                sign = sign * sgn_l
             else:
-                G, fields_l, acc_l = local_update_slice(model, k_slice, G,
-                                                        fields_l)
+                G, fields_l, acc_l, sgn_l = local_update_slice(
+                    model, k_slice, G, fields_l)
+                sign = sign * sgn_l
             acc = acc + acc_l / cfg.nt
             fields = fields.at[l].set(fields_l)
 
@@ -373,17 +390,19 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
         emax = jnp.maximum(emax, err)
         esum = esum + err
         ecnt = ecnt + do_stab.astype(dtype)
-        carry = (fields, G, stack, log_det_M, Bbar, key, acc, emax, esum, ecnt)
+        carry = (fields, G, stack, log_det_M, Bbar, key, acc, sign, emax,
+                 esum, ecnt)
         return carry, None
 
     carry = (state.fields, state.G, state.stack, state.log_det_M, eyeB,
-             state.key, state.acc_sum, state.err_max, state.err_sum,
-             state.err_count)
+             state.key, state.acc_sum, state.sign, state.err_max,
+             state.err_sum, state.err_count)
     carry, _ = jax.lax.scan(slice_step, carry, xs)
-    (fields, G, stack, log_det_M, _, key, acc, emax, esum, ecnt) = carry
+    (fields, G, stack, log_det_M, _, key, acc, sign, emax, esum,
+     ecnt) = carry
     return dataclasses.replace(
         state, fields=fields, G=G, stack=stack, log_det_M=log_det_M, key=key,
-        acc_sum=acc, err_max=emax, err_sum=esum, err_count=ecnt)
+        acc_sum=acc, sign=sign, err_max=emax, err_sum=esum, err_count=ecnt)
 
 
 def sweep_pair(model, cfg: EngineConfig, state: WalkerState) -> WalkerState:

@@ -94,6 +94,248 @@ def _update_kernel(scal_ref, table_ref, fields_in_ref, order_ref, props_ref,
     acc_ref[0, 0] = acc / ns
 
 
+# ----------------------------------------------------------------------
+# walker-batched delayed-update kernel
+# ----------------------------------------------------------------------
+#
+# vmapping the per-walker kernel adds a grid dimension => walkers run
+# SEQUENTIALLY on the single TensorCore and throughput saturates (~26
+# sweeps/s regardless of walker count).  This kernel processes a whole
+# walker block in one program:
+#
+# - the site visit order is SHARED across the walkers of a device (each
+#   chain is still exactly Metropolis — the order is state-independent —
+#   and proposals/uniforms stay per-walker, so chains remain independent);
+# - per site, only the *effective* row/column of G under the pending
+#   low-rank updates is formed:  O(W ns k) VPU work against the U/V
+#   buffers (delayed-update scheme);
+# - every k sites the buffers flush as TWO batched rank-k MXU GEMMs
+#   (G += U V and its transpose image GT += V^T U^T; GT is kept so column
+#   reads are sublane-dynamic row reads instead of lane-dynamic slices).
+#
+# VMEM budget per program: 2*WB*ns^2 + 2*WB*k*ns floats; the wrapper picks
+# the walker-block size WB accordingly and grids over blocks.
+
+
+def _batched_update_kernel(k_delay, scal_ref, order_ref, props_ref, us_ref,
+                           fields_in_ref, g_in_ref, g_ref, fields_ref,
+                           acc_ref, gt_ref, ut_ref, v_ref):
+    """Refs:
+      SMEM: scal (1, 10) f32 = [g, alpha, eta0..3, gamma0..3];
+            order (1, ns) i32 (shared visit order)
+      VMEM: props (ns, WB) i32, us (ns, WB) f32 — per-walker streams,
+            site-major so each site reads one row;
+            fields_in/fields (WB, ns) i32; g_in/g (WB, ns, ns) f32 (aliased)
+      out:  acc (1, WB) f32
+      scratch: gt (WB, ns, ns); ut, v (WB, k, ns)
+    """
+    WB, ns = g_ref.shape[0], g_ref.shape[-1]
+    dtype = g_ref.dtype
+    g_ref[...] = g_in_ref[...]
+    gt_ref[...] = jnp.swapaxes(g_in_ref[...], -1, -2)
+    fields_ref[...] = fields_in_ref[...]
+    ut_ref[...] = jnp.zeros_like(ut_ref)
+    v_ref[...] = jnp.zeros_like(v_ref)
+
+    g_hs = scal_ref[0, 0]
+    alpha = scal_ref[0, 1]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+
+    def lut(base, s):
+        """scal lookup at offset base+s for a (WB, 1) int vector s."""
+        out = jnp.zeros(s.shape, dtype)
+        for v4 in range(4):
+            out = jnp.where(s == v4, scal_ref[0, base + v4], out)
+        return out
+
+    def body(idx, acc):
+        slot = jax.lax.rem(idx, k_delay)
+        i = order_ref[0, idx]
+        onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
+                           jnp.asarray(0.0, dtype))          # (1, ns)
+
+        fields = fields_ref[...]                             # (WB, ns)
+        old = jnp.sum(fields * (lane_ids == i), axis=1,
+                      keepdims=True)                         # (WB, 1)
+        r = props_ref[pl.ds(idx, 1), :].reshape(WB, 1)
+        new = r + (r >= old).astype(r.dtype)                 # skip-old trick
+        u = us_ref[pl.ds(idx, 1), :].reshape(WB, 1)
+
+        d_eta = lut(2, new) - lut(2, old)
+        gammaR = lut(6, new) / lut(6, old)
+        bosonR = jnp.exp(alpha * g_hs * d_eta)
+        delta = jnp.exp(g_hs * d_eta) - 1.0                  # (WB, 1)
+
+        row_g = g_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
+        col_g = gt_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
+        ut_all = ut_ref[...]                                 # (WB, k, ns)
+        v_all = v_ref[...]
+        ucoef = jnp.sum(ut_all * onehot[None], axis=2)       # (WB, k) = U[i,:]
+        vcoef = jnp.sum(v_all * onehot[None], axis=2)        # (WB, k) = V[:,i]
+        row_eff = row_g + jnp.sum(ucoef[:, :, None] * v_all, axis=1)
+        col_eff = col_g + jnp.sum(vcoef[:, :, None] * ut_all, axis=1)
+        G_ii = jnp.sum(row_eff * onehot, axis=1, keepdims=True)
+
+        r_flv = 1.0 + (1.0 - G_ii) * delta
+        R = gammaR * bosonR * r_flv * r_flv
+        accept = u < jnp.minimum(jnp.asarray(1.0, dtype), jnp.abs(R))
+        prefac = jnp.where(accept, delta / r_flv,
+                           jnp.zeros_like(delta))            # (WB, 1)
+
+        ut_ref[:, pl.ds(slot, 1), :] = (prefac * col_eff)[:, None, :]
+        v_ref[:, pl.ds(slot, 1), :] = (row_eff - onehot)[:, None, :]
+        fields_ref[...] = jnp.where((lane_ids == i) & accept,
+                                    new.astype(fields.dtype), fields)
+
+        @pl.when(slot == k_delay - 1)
+        def _flush():
+            dn = (((1,), (1,)), ((0,), (0,)))  # contract k, batch WB
+            g_ref[...] += jax.lax.dot_general(
+                ut_ref[...], v_ref[...], dn, preferred_element_type=dtype)
+            gt_ref[...] += jax.lax.dot_general(
+                v_ref[...], ut_ref[...], dn, preferred_element_type=dtype)
+            ut_ref[...] = jnp.zeros_like(ut_ref)
+            v_ref[...] = jnp.zeros_like(v_ref)
+
+        return acc + accept.astype(dtype).reshape(1, WB)
+
+    acc = jax.lax.fori_loop(0, ns, body, jnp.zeros((1, WB), dtype))
+    acc_ref[...] = acc / ns
+
+
+def _pick_block(W: int, ns: int, k: int, itemsize: int = 4,
+                budget: int = 10 * 2**20) -> int:
+    per_walker = (2 * ns * ns + 2 * k * ns) * itemsize
+    wb = max(1, min(W, budget // max(per_walker, 1)))
+    while W % wb:
+        wb -= 1
+    if wb < W:
+        # multi-block runs go through a vmap-added grid whose pipeline
+        # double-buffers the G input/output blocks; halve the block so
+        # 2x(G_in + G_out) + GT + U/V stays under the VMEM limit
+        wb = max(1, wb // 2)
+        while W % wb:
+            wb -= 1
+    return wb
+
+
+@functools.partial(jax.jit, static_argnames=("k_delay", "interpret"))
+def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
+                                    fields: jax.Array, *, k_delay: int = 32,
+                                    interpret: bool = False):
+    """Walker-batched site update: one Pallas program per walker block.
+
+    keys: (W, ...) per-walker keys; G: (W, 1, ns, ns); fields: (W, ns).
+    The visit order is shared across walkers (drawn from keys[0]);
+    proposals and uniforms are per-walker.  Returns (G, fields, acc (W,)).
+    """
+    from dqmc_tpu import hsfield
+    from dqmc_tpu.engine.sweep import draw_slice_randoms
+
+    W, nfl, ns, _ = G.shape
+    assert nfl == 1
+    dtype = G.dtype
+    if ns % k_delay:
+        k_delay = next(k for k in (16, 8, 4, 2, 1) if ns % k == 0)
+
+    order, _, _ = draw_slice_randoms(keys[0], ns, dtype)
+    _, props, us = jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype))(keys)
+    props_t = props.astype(jnp.int32).T          # (ns, W)
+    us_t = us.T                                  # (ns, W)
+
+    scal = jnp.concatenate([
+        model.g.astype(dtype).reshape(1),
+        model.alpha.astype(dtype).reshape(1),
+        jnp.asarray(hsfield.ETA, dtype),
+        jnp.asarray(hsfield.GAMMA, dtype),
+    ]).reshape(1, 10)
+
+    WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize)
+    kern = functools.partial(_batched_update_kernel, k_delay)
+
+    def call_block(props_b, us_b, fields_b, G_b):
+        # one program over a full walker block — all block shapes equal the
+        # array dims, satisfying the TPU lane/sublane blocking rules
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((WB, ns, ns), dtype),
+                jax.ShapeDtypeStruct((WB, ns), jnp.int32),
+                jax.ShapeDtypeStruct((1, WB), dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # order
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # props
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # us
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # fields in
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # G in
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WB, ns, ns), dtype),       # GT
+                pltpu.VMEM((WB, k_delay, ns), dtype),  # Ut
+                pltpu.VMEM((WB, k_delay, ns), dtype),  # V
+            ],
+            input_output_aliases={5: 0},
+            interpret=interpret,
+        )(scal, order.astype(jnp.int32).reshape(1, ns), props_b, us_b,
+          fields_b, G_b)
+
+    n_blocks = W // WB
+    if n_blocks == 1:
+        G_new, fields_new, acc = call_block(
+            props_t, us_t, fields.astype(jnp.int32), G.reshape(W, ns, ns))
+    else:
+        # chunk the walker axis; vmap adds a (sequential) grid dimension
+        G_new, fields_new, acc = jax.vmap(call_block)(
+            props_t.T.reshape(n_blocks, WB, ns).transpose(0, 2, 1),
+            us_t.T.reshape(n_blocks, WB, ns).transpose(0, 2, 1),
+            fields.astype(jnp.int32).reshape(n_blocks, WB, ns),
+            G.reshape(n_blocks, WB, ns, ns))
+
+    return (G_new.reshape(W, 1, ns, ns), fields_new.reshape(W, ns),
+            acc.reshape(W))
+
+
+# ----------------------------------------------------------------------
+# vmap-aware entry point
+# ----------------------------------------------------------------------
+
+@jax.custom_batching.custom_vmap
+def pallas_site_update(model, key, G, fields_l):
+    """Site update that picks the right Pallas kernel for its batching:
+    called per-walker it runs the single-walker kernel; under `vmap` over a
+    walker axis it dispatches to the walker-batched delayed-update kernel
+    (shared visit order per device, per-walker proposals/uniforms)."""
+    interpret = jax.default_backend() == "cpu"
+    return metropolis_slice_update(model, key, G, fields_l,
+                                   interpret=interpret)
+
+
+@pallas_site_update.def_vmap
+def _pallas_site_update_vmap(axis_size, in_batched, model, key, G, fields_l):
+    model_batched = any(jax.tree_util.tree_leaves(in_batched[0]))
+    out_batched = (True, True, True)
+    if model_batched:
+        # replica axis (parallel tempering): per-replica models; run the
+        # unbatched kernel sequentially per replica slot
+        def one(args):
+            m, k, g, f = args
+            return pallas_site_update(m, k, g, f)
+
+        return jax.lax.map(one, (model, key, G, fields_l)), out_batched
+    interpret = jax.default_backend() == "cpu"
+    out = metropolis_slice_update_batched(model, key, G, fields_l,
+                                          interpret=interpret)
+    return out, out_batched
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def metropolis_slice_update(model, key: jax.Array, G: jax.Array,
                             fields_l: jax.Array, *, interpret: bool = False):

@@ -113,7 +113,10 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
                          params.get_int("Lattice", "L2"))
     lat.save_info(os.path.join(out_dir, "info"))
 
-    model = AttractiveHubbard.from_params(params, lat, dtype=dtype)
+    from dqmc_tpu.models import MODEL_REGISTRY
+    model_name = params.get_str("hubbard", "model", "attractive")
+    model_cls = MODEL_REGISTRY[model_name]
+    model = model_cls.from_params(params, lat, dtype=dtype)
     cfg = make_engine_config(params, model)
     log(f"Standard DQMC run: {lat.L1}x{lat.L2} lattice, beta={float(model.beta)}, "
         f"nt={nt}, {n_walkers} walkers, dtype={dtype.__name__}, "

@@ -1,0 +1,117 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU): every site-update
+implementation must realize the exact same Markov chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu.engine.sweep import (
+    draw_slice_randoms,
+    local_update_core,
+    local_update_slice,
+    local_update_slice_delayed,
+)
+from dqmc_tpu.lattice import square_lattice
+from dqmc_tpu.models import AttractiveHubbard
+from dqmc_tpu.ops.kernels import (
+    metropolis_slice_update,
+    metropolis_slice_update_batched,
+    pallas_site_update,
+)
+
+
+def setup(ns=16):
+    lat = square_lattice(4, 4)
+    m = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=4.0, nt=16,
+                                dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    G = jnp.asarray(rng.standard_normal((1, ns, ns)) * 0.2 + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, ns), jnp.int32)
+    return m, G, fl
+
+
+def test_single_walker_kernel_matches_scan():
+    m, G, fl = setup()
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        G1, f1, a1, s1 = local_update_slice(m, key, G, fl)
+        G2, f2, a2 = metropolis_slice_update(m, key, G, fl, interpret=True)
+        assert bool((f1 == f2).all())
+        np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), atol=1e-13)
+        np.testing.assert_allclose(float(a1), float(a2))
+        assert float(s1) == 1.0  # attractive model is sign-free
+
+
+def test_delayed_matches_scan_bitwise():
+    m, G, fl = setup()
+    key = jax.random.PRNGKey(9)
+    G1, f1, a1, s1 = local_update_slice(m, key, G, fl)
+    for k in (4, 5, 16):
+        G2, f2, a2, s2 = local_update_slice_delayed(m, key, G, fl, k)
+        assert bool((f1 == f2).all())
+        np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), atol=1e-12)
+        assert float(s1) == float(s2)
+
+
+def test_batched_kernel_matches_shared_order_core():
+    m, G1w, _ = setup()
+    ns, W = 16, 4
+    rng = np.random.default_rng(6)
+    G = jnp.asarray(rng.standard_normal((W, 1, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(11), W)
+
+    G2, f2, a2 = metropolis_slice_update_batched(m, keys, G, fl, k_delay=8,
+                                                 interpret=True)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
+    for w in range(W):
+        _, props, us = draw_slice_randoms(keys[w], ns, jnp.float64)
+        Gw, fw, aw, _ = local_update_core(m, G[w], fl[w], order, props, us)
+        assert bool((fw == f2[w]).all()), f"walker {w}"
+        np.testing.assert_allclose(np.asarray(Gw), np.asarray(G2[w]),
+                                   atol=1e-12)
+        np.testing.assert_allclose(float(aw), float(a2[w]))
+
+
+def test_custom_vmap_dispatches_to_batched():
+    """vmap(pallas_site_update) must produce the batched kernel's results."""
+    m, _, _ = setup()
+    ns, W = 16, 4
+    rng = np.random.default_rng(8)
+    G = jnp.asarray(rng.standard_normal((W, 1, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(13), W)
+
+    G1, f1, a1 = jax.vmap(
+        lambda k, g, f: pallas_site_update(m, k, g, f))(keys, G, fl)
+    G2, f2, a2 = metropolis_slice_update_batched(m, keys, G, fl,
+                                                 interpret=True)
+    assert bool((f1 == f2).all())
+    np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+
+
+def test_custom_vmap_model_batched_fallback():
+    """vmap over (model, state) — the replica-axis case — must fall back to
+    per-replica kernels and still be correct."""
+    lat = square_lattice(4, 4)
+    ns, R = 16, 2
+    models = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=b, nt=16,
+                                  dtype=jnp.float64) for b in (2.0, 4.0)])
+    rng = np.random.default_rng(3)
+    G = jnp.asarray(rng.standard_normal((R, 1, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (R, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(17), R)
+
+    G1, f1, a1 = jax.vmap(pallas_site_update)(models, keys, G, fl)
+    for r in range(R):
+        mr = jax.tree_util.tree_map(lambda x: x[r], models)
+        Gr, fr, ar, _ = local_update_slice(mr, keys[r], G[r], fl[r])
+        assert bool((fr == f1[r]).all())
+        np.testing.assert_allclose(np.asarray(Gr), np.asarray(G1[r]),
+                                   atol=1e-12)
