@@ -131,7 +131,8 @@ def _ab_tau(flat_idx: int, n_orb: int, n_tau: int):
 
 
 def analyze(results_dir: str = "results", param_file: str = "parameters.in",
-            out_dir: str = ".", verbose: bool = True) -> Dict:
+            out_dir: str = ".", verbose: bool = True,
+            use_native: bool = False) -> Dict:
     log = print if verbose else (lambda *a: None)
     pt = is_pt_enabled(param_file)
     info = load_lattice_info(results_dir)
@@ -143,7 +144,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
         with open(os.path.join(out_dir, "scalarObservables.dat"), "w") as f:
             f.write("# Observable Mean Error\n")
             for name, bins in scalars.items():
-                mean, err = jackknife(np.asarray(bins))
+                mean, err = jackknife(np.asarray(bins), use_native=use_native)
                 results[name] = (mean, err)
                 f.write(f"{name} {mean} {err}\n")
 
@@ -154,7 +155,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # equal-time, real space: columns rx ry a b mean error
     for name, bins in eq_r.items():
-        mean, err = jackknife_array(np.asarray(bins))
+        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
         nx, ny, S = mean.shape
         with open(os.path.join(obs_dir(name), "statr.dat"), "w") as f:
             f.write(f"# Equal-time observable: {name} (Real space)\n")
@@ -170,7 +171,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # equal-time, k space: complex columns
     for name, bins in eq_k.items():
-        mean, err = jackknife_array(np.asarray(bins))
+        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
         nkx, nky, S = mean.shape
         with open(os.path.join(obs_dir(name), "statk.dat"), "w") as f:
             f.write(f"# Equal-time observable: {name} (K-space)\n")
@@ -188,7 +189,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # unequal-time, real space: columns rx ry a b tau mean error (+ statr0)
     for name, bins in uneq_r.items():
-        mean, err = jackknife_array(np.asarray(bins))
+        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
         nx, ny, S = mean.shape
         n_tau = S // (n_orb * n_orb)
         d = obs_dir(name)
@@ -216,7 +217,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # unequal-time, k space
     for name, bins in uneq_k.items():
-        mean, err = jackknife_array(np.asarray(bins))
+        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
         nkx, nky, S = mean.shape
         n_tau = S // (n_orb * n_orb)
         with open(os.path.join(obs_dir(name), "statk.dat"), "w") as f:
@@ -249,8 +250,11 @@ def main(argv=None):
                    help="Results directory (default: results)")
     p.add_argument("-p", "--parameters", default="parameters.in",
                    help="Parameter file for PT detection (default: parameters.in)")
+    p.add_argument("--native", action="store_true",
+                   help="use the C++ statistics core (mathematically "
+                        "identical; rounding may differ in the last digits)")
     args = p.parse_args(argv)
-    analyze(args.directory, args.parameters)
+    analyze(args.directory, args.parameters, use_native=args.native)
 
 
 if __name__ == "__main__":

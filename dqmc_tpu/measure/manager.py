@@ -123,12 +123,14 @@ class MeasurementManager:
         scalar_fns = dict(self._scalar_fns)
         eq_fns = dict(self._eq_fns)
 
-        def measure_one(G00):
-            out = {}
+        def measure_one(G00, sign):
+            # sign-weighted accumulation: for sign-free models sign == 1 and
+            # the extra "sign" observable is dropped by measure_equal
+            out = {("scalar", "sign"): sign}
             for name, fn in scalar_fns.items():
-                out[("scalar", name)] = fn(G00, ctx)
+                out[("scalar", name)] = fn(G00, ctx) * sign
             for name, fn in eq_fns.items():
-                out[("eq", name)] = site_to_r(fn(G00, ctx), ctx)
+                out[("eq", name)] = site_to_r(fn(G00, ctx), ctx) * sign
             return out
 
         self._measure_eq_jit = jax.jit(jax.vmap(measure_one))
@@ -154,12 +156,22 @@ class MeasurementManager:
     # per-sweep measurement (measurementh5.h:189-227)
     # ------------------------------------------------------------------
 
-    def measure_equal(self, G00_batch: jax.Array) -> None:
-        """G00_batch: (n_walkers, nfl, ns, ns) equal-time Green's functions."""
+    def measure_equal(self, G00_batch: jax.Array, signs=None) -> None:
+        """G00_batch: (n_walkers, nfl, ns, ns) equal-time Green's functions.
+
+        For models with a sign problem pass ``signs`` (n_walkers,): every
+        observable accumulates sign-weighted (<O s>) and a "sign" scalar
+        observable records <s> for reweighting at analysis time.
+        """
         if self._measure_eq_jit is None:
             self._build_eq()
-        out = self._measure_eq_jit(G00_batch)
+        signed = signs is not None
+        if signs is None:
+            signs = jnp.ones((G00_batch.shape[0],), G00_batch.dtype)
+        out = self._measure_eq_jit(G00_batch, signs)
         for (kind, name), val in out.items():
+            if name == "sign" and not signed:
+                continue  # keep reference-identical output for sign-free runs
             acc = self._acc_scalar if kind == "scalar" else self._acc_eq
             acc[name] = acc[name] + val if name in acc else val
         self._eq_count += 1

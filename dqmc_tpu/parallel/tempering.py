@@ -146,9 +146,38 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     states = jax.vmap(lambda m, k: init_state(m, cfg, k))(
         models, jax.random.split(k_init, R))
 
+    # checkpoint / resume (same contract as the standard driver)
+    ckpt_every = params.get_int("simulation", "checkpoint_every", 0)
+    ckpt_path = params.get_str("simulation", "checkpoint_path",
+                               os.path.join(out_dir, "checkpoint.npz"))
+    start_bin = 0
+    therm_done = False
+    attempt = 0
+    accepted = 0.0
+    if ckpt_every > 0 and os.path.exists(ckpt_path):
+        from dqmc_tpu.io.checkpoint import load_checkpoint
+        states, meta = load_checkpoint(ckpt_path, states)
+        start_bin = int(meta["bin"])
+        therm_done = bool(meta.get("therm_done", True))
+        attempt = int(meta.get("attempt", 0))
+        accepted = float(meta.get("accepted", 0.0))
+        log(f"Resumed PT run from {ckpt_path} at bin {start_bin}")
+
     manager = MeasurementManager(lat, n_walkers=R, measure_unequal=uneq,
-                                 out_dir=out_dir, dtype=dtype)
+                                 out_dir=out_dir, dtype=dtype,
+                                 start_bin=start_bin,
+                                 file_mode="a" if start_bin else "w")
     manager.add_defaults()
+
+    def save_ckpt():
+        if ckpt_every <= 0:
+            return
+        from dqmc_tpu.io.checkpoint import save_checkpoint
+        jax.block_until_ready(states.G)
+        save_checkpoint(ckpt_path, states,
+                        {"bin": manager.current_bin, "therm_done": True,
+                         "attempt": attempt, "accepted": accepted,
+                         "seed": seed})
 
     step = jax.jit(jax.vmap(lambda m, s: sweep_pair(m, cfg, s)))
     uneq_fn = manager.uneq_measure_fn
@@ -157,16 +186,16 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     warp = jax.jit(jax.vmap(lambda m, G: half_warp(m, G)))
 
     t0 = time.perf_counter()
-    for _ in range(n_therms):
-        states = step(models, states)
-    jax.block_until_ready(states.G)
+    if not therm_done:
+        for _ in range(n_therms):
+            states = step(models, states)
+        jax.block_until_ready(states.G)
+        save_ckpt()
     dt_therm = time.perf_counter() - t0
     log(f"Thermalization done in {dt_therm:.2f} seconds")
 
-    attempt = 0
-    accepted = 0.0
     err_uneq_max = 0.0
-    total = n_bins * n_sweeps
+    total = (n_bins - start_bin) * n_sweeps
     t0 = time.perf_counter()
     for isweep in range(1, total + 1):
         if isweep % exchange_step == 0:
@@ -184,6 +213,8 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         manager.measure_equal(G)
         if isweep % n_sweeps == 0:
             manager.accumulate()
+            if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:
+                save_ckpt()
     jax.block_until_ready(states.G)
     dt_meas = time.perf_counter() - t0
     manager.close()

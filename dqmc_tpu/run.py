@@ -190,10 +190,15 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         states = step(states)
         if uneq and uneq_fn is not None:
             ys, err_u = uneq_step(states)
+            if model.det_power == 1:  # sign-weight unequal-time data too
+                s = states.sign.reshape((-1,) + (1,) * 4)
+                ys = {k: v * s for k, v in ys.items()}
             manager.measure_unequal_result(ys)
             err_uneq_max = max(err_uneq_max, float(jnp.max(err_u)))
         G = warp(states.G) if symmetric else states.G
-        manager.measure_equal(G)
+        # sign-prone models (det_power == 1) measure sign-weighted
+        manager.measure_equal(
+            G, signs=states.sign if model.det_power == 1 else None)
         if profile_dir and isweep == min(3, total):
             jax.block_until_ready(states.G)
             jax.profiler.stop_trace()
