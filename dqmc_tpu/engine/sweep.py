@@ -54,6 +54,12 @@ import numpy as np
 
 from dqmc_tpu import hsfield
 from dqmc_tpu.engine.state import EngineConfig, WalkerState
+from dqmc_tpu.models.kinetic import (
+    apply_B_left,
+    apply_B_right,
+    apply_invB_left,
+    apply_invB_right,
+)
 from dqmc_tpu.ops.linalg import (
     LDR,
     inv_invldr_plus_ldr_dag,
@@ -264,8 +270,7 @@ def rebuild_stack_and_greens(model, cfg: EngineConfig, fields: jax.Array):
     def step(carry, x):
         stack, Bbar = carry
         l, i_stack, do_stab = x
-        B = model.B_of(jnp.take(fields, l, axis=0))
-        Bbar = Bbar @ B
+        Bbar = apply_B_right(model, jnp.take(fields, l, axis=0), Bbar)
 
         def fold(args):
             stack, Bbar = args
@@ -343,8 +348,9 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
         fields_l = jnp.take(fields, l, axis=0)
 
         if forward:
-            B, invB = model.B_mats(fields_l)
-            G = B @ G @ invB            # G(l+1) = B_l G(l) B_l^{-1}
+            # G(l+1) = B_l G(l) B_l^{-1}
+            G = apply_invB_right(model, fields_l,
+                                 apply_B_left(model, fields_l, G))
 
         if update:
             key, k_slice = jax.random.split(key)
@@ -370,11 +376,12 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
 
         if forward:
             # post-update B enters the block product
-            Bbar = model.B_of(fields_l) @ Bbar
+            Bbar = apply_B_left(model, fields_l, Bbar)
         else:
-            B, invB = model.B_mats(fields_l)
-            G = invB @ G @ B            # G(l) = B_l^{-1} G(l+1) B_l
-            Bbar = Bbar @ B
+            # G(l) = B_l^{-1} G(l+1) B_l
+            G = apply_B_right(model, fields_l,
+                              apply_invB_left(model, fields_l, G))
+            Bbar = apply_B_right(model, fields_l, Bbar)
 
         def stab_branch(args):
             G, stack, log_det_M, Bbar = args

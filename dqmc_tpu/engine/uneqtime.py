@@ -37,6 +37,7 @@ from dqmc_tpu.engine.sweep import (
     identity_stack,
     slot_get,
 )
+from dqmc_tpu.models.kinetic import apply_B_left, apply_invB_right
 from dqmc_tpu.ops.linalg import LDR
 
 
@@ -80,11 +81,12 @@ def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
     def step(carry, x):
         Gtt, Gt0, G0t, Bt0, Bbar, emax = carry
         l, i_stack, do_stab = x
-        B, invB = model.B_mats(jnp.take(state.fields, l, axis=0))
-        Gtt = B @ Gtt @ invB
-        Gt0 = B @ Gt0
-        G0t = G0t @ invB
-        Bbar = B @ Bbar
+        fields_l = jnp.take(state.fields, l, axis=0)
+        Gtt = apply_invB_right(model, fields_l,
+                               apply_B_left(model, fields_l, Gtt))
+        Gt0 = apply_B_left(model, fields_l, Gt0)
+        G0t = apply_invB_right(model, fields_l, G0t)
+        Bbar = apply_B_left(model, fields_l, Bbar)
 
         def stab(args):
             Gtt, Gt0, G0t, Bt0, Bbar = args

@@ -84,11 +84,21 @@ class AttractiveHubbard:
     gamma: jax.Array             # (4,) GHQ weights
     beta: jax.Array              # () inverse temperature (bookkeeping / PT)
 
+    # checkerboard kinetics (models/kinetic.py); None in dense mode
+    checkerboard: bool = dataclasses.field(default=False,
+                                           metadata=dict(static=True))
+    cb_perm: jax.Array | None = None    # (4, ns) bond-partner permutations
+    cb_mask: jax.Array | None = None    # (4, ns) group membership
+    cb_ch: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    cb_sh: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    cb_emu: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+
     # ------------------------------------------------------------------
 
     @classmethod
     def build(cls, lat: Lattice, *, U: float, t: float, mu: float,
-              beta: float, nt: int, dtype=jnp.float64) -> "AttractiveHubbard":
+              beta: float, nt: int, dtype=jnp.float64,
+              checkerboard: bool = False) -> "AttractiveHubbard":
         dtau = beta / nt
         K = build_kinetic_matrix(lat, t, mu)
         # one-time dense expm in host f64 (model.cpp:31-35)
@@ -97,6 +107,14 @@ class AttractiveHubbard:
         expKh = scipy.linalg.expm(-0.5 * dtau * K)
         invexpKh = scipy.linalg.expm(0.5 * dtau * K)
         g = np.sqrt(0.5 * abs(U) * dtau)
+        cb = {}
+        if checkerboard:
+            from dqmc_tpu.models.kinetic import build_checkerboard
+            perms, masks, ch, sh = build_checkerboard(lat, t, dtau)
+            cb = dict(checkerboard=True,
+                      cb_perm=jnp.asarray(perms),
+                      cb_mask=jnp.asarray(masks, dtype),
+                      cb_ch=ch, cb_sh=sh, cb_emu=float(np.exp(dtau * mu)))
         return cls(
             n_sites=lat.n_sites, nt=int(nt), n_flavor=1, det_power=2,
             expK=jnp.asarray(expK, dtype),
@@ -108,6 +126,7 @@ class AttractiveHubbard:
             eta=jnp.asarray(hsfield.ETA, dtype),
             gamma=jnp.asarray(hsfield.GAMMA, dtype),
             beta=jnp.asarray(beta, dtype),
+            **cb,
         )
 
     @classmethod
@@ -121,6 +140,7 @@ class AttractiveHubbard:
             beta=params.get_float("simulation", "beta") if beta is None else beta,
             nt=params.get_int("simulation", "nt"),
             dtype=dtype,
+            checkerboard=params.get_bool("hubbard", "checkerboard", False),
         )
 
     @property
