@@ -11,6 +11,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dqmc_tpu.lattice import Lattice
 
@@ -29,18 +30,26 @@ class MeasurementContext:
     n_cells: int = _static()
     n_sites: int = _static()
 
-    # tables
+    # tables (DFT phases stored as a real (re, im) pair: some TPU runtimes
+    # cannot device-transfer complex arrays, and the k-space transform only
+    # runs host-side in the manager anyway)
     disp_table: jax.Array      # (L1, L2, n_cells) int32 — lattice translations
-    phases: jax.Array          # (L1, L2, L1, L2) complex — exp(-i k . r)
+    phases_re: jax.Array       # (L1, L2, L1, L2) — Re exp(-i k . r)
+    phases_im: jax.Array       # (L1, L2, L1, L2) — Im exp(-i k . r)
     nbr_x: jax.Array           # (n_sites,) int32 — +x neighbor map (currxx)
+
+    @property
+    def phases(self):
+        return np.asarray(self.phases_re) + 1j * np.asarray(self.phases_im)
 
 
 def make_context(lat: Lattice, dtype=jnp.float64) -> MeasurementContext:
-    cplx = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    phases = lat.kspace_phases()
     return MeasurementContext(
         L1=lat.L1, L2=lat.L2, n_orb=lat.n_orb, n_cells=lat.n_cells,
         n_sites=lat.n_sites,
         disp_table=jnp.asarray(lat.displacement_table()),
-        phases=jnp.asarray(lat.kspace_phases(), cplx),
+        phases_re=jnp.asarray(phases.real, dtype),
+        phases_im=jnp.asarray(phases.imag, dtype),
         nbr_x=jnp.asarray(lat.neighbor_map((1, 0), orb=0)),
     )

@@ -22,6 +22,7 @@ the reference's O(ns^2) site-pair accumulators (measurementh5.h:140-141).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dqmc_tpu.measure.context import MeasurementContext
@@ -48,6 +49,11 @@ def site_to_r(chi, ctx: MeasurementContext):
 
 def r_to_k(chi_r, ctx: MeasurementContext):
     """(L1, L2, S) real displacement data -> (L1, L2, S) complex k-space via
-    the dense DFT: chi_k[k] = sum_r chi_r[r] exp(-i k . r)."""
-    return jnp.tensordot(ctx.phases, chi_r.astype(ctx.phases.dtype),
-                         axes=((2, 3), (0, 1)))
+    the dense DFT: chi_k[k] = sum_r chi_r[r] exp(-i k . r).
+
+    Computed as two real contractions (phases stored as a re/im pair so the
+    context needs no complex device arrays)."""
+    chi_r = chi_r.astype(ctx.phases_re.dtype)
+    re = jnp.tensordot(ctx.phases_re, chi_r, axes=((2, 3), (0, 1)))
+    im = jnp.tensordot(ctx.phases_im, chi_r, axes=((2, 3), (0, 1)))
+    return jax.lax.complex(re, im)

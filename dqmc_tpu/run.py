@@ -93,6 +93,13 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
                    verbose: bool = True) -> RunSummary:
     log = print if verbose else (lambda *a, **k: None)
 
+    # On TPU, f32 matmuls default to bfloat16 passes — fatal for DQMC
+    # stabilization.  Full-precision accumulation is the only sane default;
+    # override via [simulation] matmul_precision for experiments.
+    jax.config.update("jax_default_matmul_precision",
+                      params.get_str("simulation", "matmul_precision",
+                                     "highest"))
+
     pt_enabled = params.get_bool("ParallelTempering", "enabled", False)
     if pt_enabled:
         from dqmc_tpu.parallel.tempering import run_parallel_tempering
