@@ -25,14 +25,24 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache.json")
 
-L, BETA, NT, NSTAB, U, MU = 16, 8.0, 160, 5, 4.0, 0.0
+# benchmark presets (BASELINE.json configs)
+CONFIGS = {
+    # name: (L, beta, nt, n_stab, U, mu, default_walkers, checkerboard)
+    "headline": (16, 8.0, 160, 5, 4.0, 0.0, 16, False),
+    "small": (8, 6.0, 120, 5, 4.0, 0.0, 64, False),
+    "doped": (12, 6.0, 120, 5, 6.0, -0.88, 32, False),
+    "stretch": (32, 16.0, 320, 5, 4.0, 0.0, 4, True),
+}
+
+L, BETA, NT, NSTAB, U, MU = CONFIGS["headline"][:6]
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def tpu_throughput(n_walkers: int, inner: int, reps: int):
+def tpu_throughput(n_walkers: int, inner: int, reps: int,
+                   checkerboard: bool = False):
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
@@ -43,7 +53,8 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int):
     log(f"benchmark device: {jax.devices()[0]}")
     lat = square_lattice(L, L)
     model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
-                                    nt=NT, dtype=jnp.float32)
+                                    nt=NT, dtype=jnp.float32,
+                                    checkerboard=checkerboard)
     cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
@@ -136,21 +147,29 @@ def cpu_baseline() -> float:
 
 
 def main():
+    global L, BETA, NT, NSTAB, U, MU
     p = argparse.ArgumentParser()
-    p.add_argument("--walkers", type=int, default=8)
+    p.add_argument("--config", choices=sorted(CONFIGS), default="headline")
+    p.add_argument("--walkers", type=int, default=None)
     p.add_argument("--inner", type=int, default=4,
                    help="sweep-pairs per jitted chunk")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--skip-baseline", action="store_true")
     args = p.parse_args()
 
+    L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
+    walkers = args.walkers or default_w
     sys.path.insert(0, REPO)
-    rate = tpu_throughput(args.walkers, args.inner, args.reps)
-    baseline = float("nan") if args.skip_baseline else cpu_baseline()
+    rate = tpu_throughput(walkers, args.inner, args.reps, checkerboard=cb)
+    # the CPU baseline (the "MKL-core" denominator) is defined on the
+    # headline workload only
+    baseline = (float("nan") if args.skip_baseline
+                or args.config != "headline" else cpu_baseline())
     vs = rate / baseline if baseline == baseline and baseline > 0 else None
     print(json.dumps({
         "metric": f"full sweeps/sec/chip ({L}x{L} beta={BETA} U={U} Hubbard, "
-                  f"nt={NT}, f32, {args.walkers} walkers)",
+                  f"nt={NT}, f32, {walkers} walkers"
+                  + (", checkerboard" if cb else "") + ")",
         "value": round(rate, 3),
         "unit": "sweeps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,

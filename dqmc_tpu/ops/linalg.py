@@ -202,19 +202,28 @@ def inv_one_plus_ldr_mul_ldr(F1: LDR, F2: LDR) -> Tuple[jax.Array, jax.Array]:
 
 
 def _qr_solve_logdet(A: jax.Array, B: jax.Array):
-    """(A^{-1} B, log|det A|) via QR — no LU anywhere.
+    """(A^{-1} B, log|det A|) for the well-conditioned M systems.
 
-    XLA:TPU implements QR and TriangularSolve for f64 (emulated) but not
-    LuDecomposition; routing the well-conditioned M-solves through QR makes
-    the whole stabilized path runnable on TPU in either precision, and QR
-    is at least as stable as partial-pivot LU for these O(1)-conditioned
-    systems.
+    f64: via QR + TriangularSolve — XLA:TPU implements those for f64
+    (emulated) but not LuDecomposition, so the f64 path stays LU-free and
+    runs on TPU.
+    f32: via LU (jnp.linalg.solve / slogdet), which XLA:TPU implements
+    natively and which is substantially cheaper than Householder QR —
+    stabilization restabilizations are the sweep's hot spot after the
+    Pallas update kernels.  M has O(1) entries and O(1) condition by
+    construction (see the dag derivations below), so partial pivoting is
+    ample.
     """
-    Q, R = jnp.linalg.qr(A)
-    X = jax.lax.linalg.triangular_solve(
-        R, jnp.swapaxes(Q, -1, -2) @ B, left_side=True, lower=False)
-    logabs = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))),
-                     axis=-1)
+    if A.dtype == jnp.float64:
+        Q, R = jnp.linalg.qr(A)
+        X = jax.lax.linalg.triangular_solve(
+            R, jnp.swapaxes(Q, -1, -2) @ B, left_side=True, lower=False)
+        logabs = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))), axis=-1)
+        return X, logabs
+    X = jnp.linalg.solve(A, B)
+    sign, logabs = jnp.linalg.slogdet(A)
+    del sign
     return X, logabs
 
 
