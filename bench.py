@@ -42,20 +42,36 @@ def log(*a):
 
 
 def tpu_throughput(n_walkers: int, inner: int, reps: int,
-                   checkerboard: bool = False):
+                   checkerboard: bool = False, dtype_name: str = "float32"):
+    """Measure sweep-pair throughput; returns (rate, steady_err_max, acc).
+
+    Precision accounting: err stats are RESET after the warmup chunk, so the
+    reported err_max is the steady-state naive-vs-stabilized deviation of
+    the timed sweeps only (the random-field transient of the first sweeps is
+    excluded — it says nothing about stabilization health; cf.
+    dqmc.cpp:317-329 which never resets)."""
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
-    from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair
+    from dqmc_tpu.engine import (EngineConfig, init_state, reset_error_stats,
+                                 sweep_pair)
     from dqmc_tpu.lattice import square_lattice
     from dqmc_tpu.models import AttractiveHubbard
 
-    log(f"benchmark device: {jax.devices()[0]}")
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
+    log(f"benchmark device: {jax.devices()[0]} dtype={dtype_name}")
     lat = square_lattice(L, L)
     model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
-                                    nt=NT, dtype=jnp.float32,
+                                    nt=NT, dtype=dtype,
                                     checkerboard=checkerboard)
-    cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
+    # The Pallas site-update kernel is f32; the f64 parity mode uses the
+    # delayed rank-k path (same Markov chain, MXU-resident linear algebra).
+    if dtype == jnp.float32:
+        cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
+    else:
+        cfg = EngineConfig(nt=NT, n_stab=NSTAB, delay_rank=32)
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
     t0 = time.perf_counter()
@@ -74,6 +90,7 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     states = chunk(states)
     jax.block_until_ready(states.G)
     log(f"sweep chunk compile+first: {time.perf_counter() - t0:.1f}s")
+    states = jax.jit(jax.vmap(reset_error_stats))(states)
 
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -83,10 +100,12 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     total_pairs = n_walkers * inner * reps
     rate = total_pairs / dt
     n_sweeps = inner * (reps + 1)
-    log(f"TPU: {total_pairs} walker-sweeps in {dt:.2f}s -> {rate:.2f} sweeps/s/chip")
-    log(f"acc={float(states.acc_sum.mean()) / (2 * n_sweeps):.3f} "
-        f"err_max={float(states.err_max.max()):.2e}")
-    return rate
+    acc = float(states.acc_sum.mean()) / (2 * n_sweeps)
+    err = float(states.err_max.max())
+    log(f"TPU {dtype_name}: {total_pairs} walker-sweeps in {dt:.2f}s "
+        f"-> {rate:.2f} sweeps/s/chip")
+    log(f"acc={acc:.3f} steady-state err_max={err:.2e}")
+    return rate, err, acc
 
 
 _BASELINE_SCRIPT = r"""
@@ -155,25 +174,68 @@ def main():
                    help="sweep-pairs per jitted chunk")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--skip-parity", action="store_true",
+                   help="skip the f64 parity-grade measurement")
+    p.add_argument("--dtype", choices=("float32", "float64"),
+                   default="float32", help="dtype for the primary number")
     args = p.parse_args()
 
     L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
     walkers = args.walkers or default_w
     sys.path.insert(0, REPO)
-    rate = tpu_throughput(walkers, args.inner, args.reps, checkerboard=cb)
+
+    # parity-grade companion number: same workload at f64 (BASELINE.md
+    # "Numerical parity" target).  Runs in a SUBPROCESS, and BEFORE this
+    # process touches the TPU: jax_enable_x64 must be set before first jax
+    # use, and flipping it mid-process poisons async-dispatch timing on
+    # this TPU runtime (measured 0.00s walls).
+    parity_raw = None
+    if not args.skip_parity and args.dtype == "float32" \
+            and args.config == "headline":
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--config", args.config, "--dtype", "float64",
+               "--walkers", str(max(walkers // 4, 2)), "--inner", "1",
+               "--reps", "2", "--skip-baseline", "--skip-parity"]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3000, cwd=REPO)
+        if out.returncode == 0 and out.stdout.strip():
+            parity_raw = json.loads(out.stdout.strip().splitlines()[-1])
+        else:
+            log("parity subprocess failed:", out.stderr[-2000:])
+
+    rate, err, acc = tpu_throughput(walkers, args.inner, args.reps,
+                                    checkerboard=cb, dtype_name=args.dtype)
     # the CPU baseline (the "MKL-core" denominator) is defined on the
     # headline workload only
     baseline = (float("nan") if args.skip_baseline
                 or args.config != "headline" else cpu_baseline())
-    vs = rate / baseline if baseline == baseline and baseline > 0 else None
-    print(json.dumps({
+    have_base = baseline == baseline and baseline > 0
+    vs = rate / baseline if have_base else None
+
+    parity = None
+    if parity_raw is not None:
+        parity = {
+            "dtype": "float64",
+            "value": parity_raw["value"],
+            "err_max": parity_raw["err_max_steady"],
+            "acc": parity_raw["acc"],
+            "vs_baseline": (round(parity_raw["value"] / baseline, 2)
+                            if have_base else None),
+        }
+
+    out = {
         "metric": f"full sweeps/sec/chip ({L}x{L} beta={BETA} U={U} Hubbard, "
-                  f"nt={NT}, f32, {walkers} walkers"
+                  f"nt={NT}, {args.dtype}, {walkers} walkers"
                   + (", checkerboard" if cb else "") + ")",
         "value": round(rate, 3),
         "unit": "sweeps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        "err_max_steady": err,
+        "acc": round(acc, 4),
+    }
+    if parity is not None:
+        out["parity"] = parity
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

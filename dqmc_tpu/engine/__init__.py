@@ -2,6 +2,7 @@ from dqmc_tpu.engine.state import EngineConfig, WalkerState
 from dqmc_tpu.engine.sweep import (
     init_state,
     rebuild_stack_and_greens,
+    reset_error_stats,
     sweep,
     sweep_pair,
     half_warp,
@@ -12,6 +13,7 @@ __all__ = [
     "WalkerState",
     "init_state",
     "rebuild_stack_and_greens",
+    "reset_error_stats",
     "sweep",
     "sweep_pair",
     "half_warp",

@@ -419,6 +419,19 @@ def sweep_pair(model, cfg: EngineConfig, state: WalkerState) -> WalkerState:
     return sweep(model, cfg, state, forward=False)
 
 
+def reset_error_stats(state: WalkerState) -> WalkerState:
+    """Zero the stabilization-precision accumulators (err_max/err_sum/count).
+
+    The first sweeps from a random field produce large naive-vs-stable
+    deviations that say nothing about steady-state stabilization health; the
+    driver resets after thermalization so the reported max/mean error
+    reflects the measured phase only (cf. dqmc.cpp:317-329 — the reference
+    never resets and its lifetime max conflates the two)."""
+    z = jnp.zeros_like(state.err_max)
+    return dataclasses.replace(state, err_max=z, err_sum=z,
+                               err_count=jnp.zeros_like(state.err_count))
+
+
 # ----------------------------------------------------------------------
 # symmetric-Trotter half-warp (dqmc.cpp:288-315)
 # ----------------------------------------------------------------------

@@ -82,6 +82,67 @@ def _log_clamp(dtype) -> float:
     return 60.0 if dtype == jnp.float32 else 600.0
 
 
+def _shifted_cholqr2(A: jax.Array):
+    """(Q, R) orthogonalization of a column-equilibrated matrix by two
+    rounds of shifted CholeskyQR — MXU matmuls plus two small batched
+    Cholesky factorizations.
+
+    TPU rationale: XLA's Householder QR is a sequential-panel custom call
+    (~1.8 ms at (16,256,256) f32) while matmuls are ~0.02 ms and Cholesky
+    ~0.6 ms; CholeskyQR2 moves almost all the work onto the MXU.  The
+    shift in the first round (Fukaya et al.'s shifted CholeskyQR)
+    guarantees the Cholesky succeeds for cond(A) up to ~1/sqrt(eps); the
+    second round restores orthogonality.  A = Q @ R holds to rounding
+    regardless of the shift; R is upper-triangular with positive diagonal.
+
+    NOT used by the f32 engine default: the propagator-stack fold inputs
+    were measured at cond up to ~1e6 even after column equilibration
+    (beta=8), where a gram-based factorization cannot resolve the d-ladder
+    (NaNs / O(1) G errors observed) — see _F32_ORTH below."""
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    shift = float(100 * n) * float(jnp.finfo(A.dtype).eps)
+
+    def one(X, shift_scale):
+        G = jnp.matmul(jnp.swapaxes(X, -1, -2), X)
+        if shift_scale:
+            dmax = jnp.max(jnp.diagonal(G, axis1=-2, axis2=-1), axis=-1)
+            G = G + (shift_scale * dmax)[..., None, None] * eye
+        C = jnp.linalg.cholesky(G)
+        Q = jax.lax.linalg.triangular_solve(
+            C, X, left_side=False, lower=True, transpose_a=True)
+        return Q, C
+
+    Q1, C1 = one(A, shift)
+    Q2, C2 = one(Q1, 0.0)
+    # A = Q1 C1^T and Q1 = Q2 C2^T  =>  A = Q2 (C1 C2)^T
+    return Q2, jnp.swapaxes(jnp.matmul(C1, C2), -1, -2)
+
+
+# Orthogonalization backend for the f32 engine path.  "householder"
+# (default) is XLA's QR custom call.  "cholqr2" is ~2.5x faster on TPU but
+# UNSAFE for the propagator stack: the column-equilibrated fold inputs
+# still carry cond up to ~1e6 (the previous L*d structure mixes scales into
+# the rows), and a gram-based factorization cannot resolve singular values
+# below sqrt(eps_f32)*sigma_max — measured NaNs/O(1) G errors at beta=8.
+# Kept as an escape hatch / experiment knob; the production f32 fast path
+# instead removes the LU custom calls (see _qr_solve_logdet).
+_F32_ORTH = "householder"
+
+
+def set_f32_orthogonalization(method: str) -> None:
+    global _F32_ORTH
+    if method not in ("cholqr2", "householder"):
+        raise ValueError(f"unknown orthogonalization method: {method}")
+    _F32_ORTH = method
+
+
+def _qr(A: jax.Array):
+    if A.dtype == jnp.float32 and _F32_ORTH == "cholqr2":
+        return _shifted_cholqr2(A)
+    return jnp.linalg.qr(A)
+
+
 def to_ldr(M: jax.Array) -> LDR:
     """Factor M -> L * diag(d) * R via column-presorted QR.
 
@@ -107,7 +168,7 @@ def to_ldr(M: jax.Array) -> LDR:
     Mp = jnp.take(M, perm, axis=-1)
     sp = jnp.take(s, perm, axis=-1)
     sp_safe = jnp.where(sp == 0, jnp.ones_like(sp), sp)
-    Q, Rn = jnp.linalg.qr(Mp / sp_safe[..., None, :])
+    Q, Rn = _qr(Mp / sp_safe[..., None, :])
     diag = jnp.abs(jnp.diagonal(Rn, axis1=-2, axis2=-1))
     diag_safe = jnp.where(diag == 0, jnp.ones_like(diag), diag)
     clamp = _log_clamp(dtype)
@@ -210,9 +271,13 @@ def _qr_solve_logdet(A: jax.Array, B: jax.Array):
     f32: via LU (jnp.linalg.solve / slogdet), which XLA:TPU implements
     natively and which is substantially cheaper than Householder QR —
     stabilization restabilizations are the sweep's hot spot after the
-    Pallas update kernels.  M has O(1) entries and O(1) condition by
-    construction (see the dag derivations below), so partial pivoting is
-    ample.
+    Pallas update kernels.  M has O(1) ENTRIES by construction (the
+    D_large/D_small split), but its CONDITION grows with beta — measured
+    up to ~1e7 at beta=8 — so gram/Cholesky-based solvers (normal
+    equations, even with iterative refinement) and gram-based log-dets
+    were measured to lose the chain (G errors O(1), log|det| off by ~30):
+    partial-pivoted LU is load-bearing here, exactly like the reference's
+    arma::solve (stablelinalg.cpp:112).
     """
     if A.dtype == jnp.float64:
         Q, R = jnp.linalg.qr(A)

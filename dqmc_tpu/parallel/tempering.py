@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair, half_warp
+from dqmc_tpu.engine import (EngineConfig, init_state, reset_error_stats,
+                             sweep_pair, half_warp)
 from dqmc_tpu.engine.sweep import rebuild_stack_and_greens
 from dqmc_tpu.engine.uneqtime import sweep_unequal_time
 from dqmc_tpu.engine.state import WalkerState
@@ -163,6 +164,20 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         accepted = float(meta.get("accepted", 0.0))
         log(f"Resumed PT run from {ckpt_path} at bin {start_bin}")
 
+    # multi-chip: one (or more) replicas per device; the exchange
+    # permutation inside replica_exchange lowers to collective-permute over
+    # ICI when the replica axis is sharded (the reference's MPI_Sendrecv,
+    # update.cpp:64-66)
+    n_devices = params.get_int("walkers", "n_devices", 0)
+    n_avail = len(jax.devices())
+    ndev = n_avail if n_devices == 0 else min(n_devices, n_avail)
+    if ndev > 1 and R % ndev == 0:
+        from dqmc_tpu.parallel.walkers import make_mesh, shard_walkers
+        mesh = make_mesh(ndev, axis="replicas")
+        states = shard_walkers(states, mesh, axis="replicas")
+        models = shard_walkers(models, mesh, axis="replicas")
+        log(f"Sharded {R} replicas over {ndev} devices")
+
     manager = MeasurementManager(lat, n_walkers=R, measure_unequal=uneq,
                                  out_dir=out_dir, dtype=dtype,
                                  start_bin=start_bin,
@@ -193,6 +208,12 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         save_ckpt()
     dt_therm = time.perf_counter() - t0
     log(f"Thermalization done in {dt_therm:.2f} seconds")
+
+    # report the random-field transient once, then track steady-state error
+    therm_err_max = float(jnp.max(states.err_max))
+    if n_therms and not therm_done:
+        log(f"Thermalization transient precision error = {therm_err_max:.4e}")
+    states = jax.jit(jax.vmap(reset_error_stats))(states)
 
     err_uneq_max = 0.0
     total = (n_bins - start_bin) * n_sweeps
@@ -227,7 +248,7 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     exchange_rate = accepted / attempt if attempt else 0.0
     sweeps_per_sec = total * R / dt_meas if dt_meas > 0 else float("inf")
     log(f"Average acceptance rate = {acc_rate:.4f}")
-    log(f"Max, Mean Precision Error = {err_max:.4e}, {err_mean:.4e}")
+    log(f"Max, Mean Precision Error (steady-state) = {err_max:.4e}, {err_mean:.4e}")
     log(f"Parallel tempering exchange rate = {exchange_rate:.4f}")
 
     return RunSummary(
@@ -235,4 +256,5 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         therm_seconds=dt_therm, measure_seconds=dt_meas,
         sweeps_per_sec=sweeps_per_sec, acc_rate=acc_rate,
         max_precision_error=err_max, mean_precision_error=err_mean,
+        therm_max_precision_error=therm_err_max,
         exchange_rate=exchange_rate)

@@ -16,8 +16,11 @@ Config schema (superset of the reference's, SURVEY.md section 5):
                        isMeasureUnequalTime, seed (default 42),
                        dtype (float32|float64; default float64 on CPU,
                        float32 on TPU — TPU has no native f64)
-  [walkers]            n_walkers (default 1)
+  [walkers]            n_walkers (default 1),
+                       n_devices (0 = all visible devices, 1 = no sharding)
   [ParallelTempering]  enabled (default false), sweep_steps, betas
+  [distributed]        coordinator_address, num_processes, process_id
+                       (multi-host; all optional — single host needs none)
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dqmc_tpu.config import Parameters
-from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair, half_warp
+from dqmc_tpu.engine import (EngineConfig, init_state, reset_error_stats,
+                             sweep_pair, half_warp)
 from dqmc_tpu.engine.uneqtime import sweep_unequal_time
 from dqmc_tpu.lattice import square_lattice
 from dqmc_tpu.measure import MeasurementManager
@@ -84,14 +88,57 @@ class RunSummary:
     measure_seconds: float
     sweeps_per_sec: float          # full sweep-pairs/sec aggregated over walkers
     acc_rate: float
-    max_precision_error: float
+    max_precision_error: float     # steady-state (measurement phase only)
     mean_precision_error: float
+    therm_max_precision_error: float = float("nan")
     exchange_rate: Optional[float] = None
+
+
+def _maybe_init_distributed(params: Parameters) -> None:
+    """Form the multi-host runtime when [distributed] asks for it.
+
+    Replaces the reference's `mpirun -np N` + MPI_Init (main.cpp:20-28):
+    after initialization every host's chips appear in jax.devices() and the
+    walker mesh spans them transparently.  No-op in single-host runs."""
+    from dqmc_tpu.parallel.distributed import initialize_distributed
+    coord = params.get_str("distributed", "coordinator_address", "")
+    nproc = params.get_int("distributed", "num_processes", 0)
+    pid = params.get_int("distributed", "process_id", 0)
+    initialize_distributed(coord or None, nproc or None,
+                           pid if nproc else None)
+
+
+def _shard_over_devices(states, n_walkers: int, n_devices: int, log):
+    """Shard the leading walker axis over the device mesh (data parallelism
+    over independent Markov chains — the reference's mpirun execution model,
+    README.md:29-32).  Returns (states, rank_offset_for_output_files)."""
+    from dqmc_tpu.parallel.distributed import (global_walker_mesh,
+                                               local_rank_offset)
+    from dqmc_tpu.parallel.walkers import make_mesh, shard_walkers
+    n_avail = len(jax.devices())
+    ndev = n_avail if n_devices == 0 else min(n_devices, n_avail)
+    if ndev <= 1:
+        return states, 0
+    if n_walkers % ndev != 0:
+        print(f"WARNING: n_walkers={n_walkers} not divisible by "
+              f"{ndev} devices; running unsharded on one device.",
+              file=sys.stderr)
+        return states, 0
+    mesh = global_walker_mesh() if n_devices == 0 else make_mesh(ndev)
+    states = shard_walkers(states, mesh)
+    offset = (local_rank_offset(n_walkers // ndev)
+              if jax.process_count() > 1 else 0)
+    log(f"Sharded {n_walkers} walkers over {ndev} devices "
+        f"({jax.process_count()} process(es))")
+    return states, offset
 
 
 def run_simulation(params: Parameters, *, out_dir: str = "results",
                    verbose: bool = True) -> RunSummary:
     log = print if verbose else (lambda *a, **k: None)
+
+    # multi-host runtime must form before any backend query
+    _maybe_init_distributed(params)
 
     # On TPU, f32 matmuls default to bfloat16 passes — fatal for DQMC
     # stabilization.  Full-precision accumulation is the only sane default;
@@ -145,19 +192,25 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         therm_done = bool(meta.get("therm_done", True))
         log(f"Resumed from {ckpt_path} at bin {start_bin}")
 
+    # multi-chip: shard the walker axis (zero-communication data parallelism)
+    n_devices = params.get_int("walkers", "n_devices", 0)
+    states, rank_offset = _shard_over_devices(states, n_walkers, n_devices, log)
+
     manager = MeasurementManager(lat, n_walkers=n_walkers,
                                  measure_unequal=uneq, out_dir=out_dir,
                                  dtype=dtype, start_bin=start_bin,
+                                 rank_offset=rank_offset,
                                  file_mode="a" if start_bin else "w",
                                  sink=params.get_str("io", "sink", "h5"))
     manager.add_defaults()
 
     # runtime observability: reference warns when the naive-vs-stabilized
-    # deviation exceeds 1e-6 (dqmc.cpp:390-393); the sane threshold is
-    # dtype-dependent here
+    # deviation exceeds 1e-6 (dqmc.cpp:390-393).  The threshold applies to
+    # the STEADY-STATE error (stats reset after thermalization); f32 default
+    # reflects the documented single-precision stabilization bound.
     err_warn = params.get_float(
         "simulation", "err_warn_threshold",
-        1e-6 if dtype == jnp.float64 else 1e-1)
+        1e-6 if dtype == jnp.float64 else 1e-2)
     warned = False
     profile_dir = params.get_str("simulation", "profile_dir", "")
 
@@ -185,6 +238,13 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         checkpoint(True)
     dt_therm = time.perf_counter() - t0
     log(f"Thermalization done in {dt_therm:.2f} seconds")
+
+    # split precision stats: the random-field transient is reported once,
+    # then reset so the summary's max/mean reflect the measured phase
+    therm_err_max = float(jnp.max(states.err_max))
+    if n_therms and not therm_done:
+        log(f"Thermalization transient precision error = {therm_err_max:.4e}")
+    states = jax.jit(jax.vmap(reset_error_stats))(states)
 
     # measurement sweeps (main.cpp:144-171)
     err_uneq_max = 0.0
@@ -237,14 +297,15 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     m, s = divmod(rem, 60)
     log(f"DQMC measurement sweeps are finished in {h} hours {m} minutes {s} seconds.")
     log(f"Average acceptance rate = {acc:.4f}")
-    log(f"Max, Mean Precision Error = {err_max:.4e}, {err_mean:.4e}")
+    log(f"Max, Mean Precision Error (steady-state) = {err_max:.4e}, {err_mean:.4e}")
     log(f"Throughput: {sweeps_per_sec:.3f} walker-sweep-pairs/sec")
 
     return RunSummary(
         n_walkers=n_walkers, n_bins=n_bins, n_sweeps=n_sweeps,
         therm_seconds=dt_therm, measure_seconds=dt_meas,
         sweeps_per_sec=sweeps_per_sec, acc_rate=acc,
-        max_precision_error=err_max, mean_precision_error=err_mean)
+        max_precision_error=err_max, mean_precision_error=err_mean,
+        therm_max_precision_error=therm_err_max)
 
 
 def main(argv=None):
