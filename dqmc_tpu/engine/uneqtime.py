@@ -49,15 +49,21 @@ class TauGreens(NamedTuple):
     G0t: jax.Array
 
 
-@partial(jax.jit, static_argnames=("cfg", "measure_fn"))
+@partial(jax.jit, static_argnames=("cfg", "measure_fn", "warp"))
 def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
-                       measure_fn: Optional[Callable] = None):
+                       measure_fn: Optional[Callable] = None,
+                       warp: bool = False):
     """Returns (ys, err_max) where ys is ``TauGreens`` stacked over
     tau = 0..nt when measure_fn is None, else the stacked per-tau results of
     ``measure_fn(Gtt, Gt0, G0t)`` (tau axis leading, tau = 0..nt).
 
     Must be called right after a backward sweep: the stack then holds
     suffix products B(beta, tau) and state.G is G(0,0).
+
+    warp=True applies the symmetric-Trotter half-warp to every Green's
+    function seen by the measurement — the reference warps Gtt AND Gt0/G0t
+    per tau when unequal-time measurement is on (dqmc.cpp:300-312); the
+    propagation/stabilization itself always runs on the unwarped functions.
     """
     nfl, ns = model.n_flavor, model.n_sites
     dtype = model.dtype
@@ -72,6 +78,14 @@ def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
         emit = lambda a, b, c, g00: TauGreens(a, b, c)
     else:
         emit = measure_fn
+
+    if warp:
+        from dqmc_tpu.engine.sweep import half_warp
+        raw_emit = emit
+
+        def emit(a, b, c, g00):
+            return raw_emit(half_warp(model, a), half_warp(model, b),
+                            half_warp(model, c), half_warp(model, g00))
 
     ls, i_stacks, do_stabs = cfg.slice_schedule(forward=True)
     xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))

@@ -196,8 +196,11 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
 
     step = jax.jit(jax.vmap(lambda m, s: sweep_pair(m, cfg, s)))
     uneq_fn = manager.uneq_measure_fn
+    # symmetric=true warps the tau-resolved Green's functions too
+    # (dqmc.cpp:300-312)
     uneq_step = jax.jit(jax.vmap(
-        lambda m, s: sweep_unequal_time(m, cfg, s, measure_fn=uneq_fn)))
+        lambda m, s: sweep_unequal_time(m, cfg, s, measure_fn=uneq_fn,
+                                        warp=symmetric)))
     warp = jax.jit(jax.vmap(lambda m, G: half_warp(m, G)))
 
     t0 = time.perf_counter()

@@ -216,8 +216,11 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
 
     step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
     uneq_fn = manager.uneq_measure_fn
+    # symmetric=true warps the tau-resolved Green's functions too
+    # (dqmc.cpp:300-312)
     uneq_step = jax.jit(jax.vmap(
-        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
+        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn,
+                                     warp=symmetric)))
     warp = jax.jit(jax.vmap(lambda G: half_warp(model, G)))
 
     def checkpoint(therm_flag: bool):

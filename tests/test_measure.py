@@ -191,3 +191,45 @@ def test_unequal_time_interacting_stability():
     ys, err = sweep_unequal_time(model, cfg, state)
     assert float(err) < 1e-8
     assert ys.Gt0.shape == (41, 1, 16, 16)
+
+
+def test_unequal_time_half_warp_parity():
+    """warp=True inside the fused measurement scan must equal applying the
+    half-warp to the densely reconstructed TauGreens afterwards — the
+    reference warps Gtt AND Gt0/G0t per tau when symmetric (dqmc.cpp:300-312).
+    """
+    from dqmc_tpu.engine import half_warp
+
+    lat = square_lattice(4, 4)
+    model = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=4.0,
+                                    nt=20)
+    cfg = EngineConfig(nt=20, n_stab=4)
+    ctx = make_context(lat, jnp.float64)
+    state = init_state(model, cfg, jax.random.PRNGKey(2))
+    state = sweep_pair(model, cfg, state)
+
+    def measure(Gtt, Gt0, G0t, G00):
+        return {"greenTau": site_to_r(obs.green_tau(Gtt, Gt0, G0t, G00, ctx),
+                                      ctx),
+                "currxxTau": site_to_r(obs.currxx_tau(Gtt, Gt0, G0t, G00, ctx),
+                                       ctx)}
+
+    # fused path with in-scan warping
+    ys_w, _ = sweep_unequal_time(model, cfg, state, measure_fn=measure,
+                                 warp=True)
+    # oracle: dense TauGreens, warped post-hoc, measured per tau
+    ys_raw, _ = sweep_unequal_time(model, cfg, state)
+    G00w = half_warp(model, state.G)
+    for l in range(cfg.nt + 1):
+        want = measure(half_warp(model, ys_raw.Gtt[l]),
+                       half_warp(model, ys_raw.Gt0[l]),
+                       half_warp(model, ys_raw.G0t[l]), G00w)
+        for k in ys_w:
+            np.testing.assert_allclose(np.asarray(ys_w[k][l]),
+                                       np.asarray(want[k]), atol=1e-12,
+                                       err_msg=f"{k} tau={l}")
+    # warping must not change the equal-time boundary identity trace
+    # (tr G is invariant under the similarity transform)
+    np.testing.assert_allclose(
+        np.trace(np.asarray(half_warp(model, ys_raw.Gtt[0])[0])),
+        np.trace(np.asarray(ys_raw.Gtt[0][0])), atol=1e-10)
