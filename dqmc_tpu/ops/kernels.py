@@ -117,13 +117,17 @@ def _update_kernel(scal_ref, table_ref, fields_in_ref, order_ref, props_ref,
 # the walker-block size WB accordingly and grids over blocks.
 
 
-def _batched_update_kernel(k_delay, scal_ref, order_ref, props_ref, us_ref,
-                           fields_in_ref, g_in_ref, g_ref, fields_ref,
+def _batched_update_kernel(k_delay, scal_ref, ga_ref, order_ref, props_ref,
+                           us_ref, fields_in_ref, g_in_ref, g_ref, fields_ref,
                            acc_ref, gt_ref, ut_ref, v_ref):
     """Refs:
-      SMEM: scal (1, 10) f32 = [g, alpha, eta0..3, gamma0..3];
+      SMEM: scal (1, 8) f32 = [eta0..3, gamma0..3];
             order (1, ns) i32 (shared visit order)
-      VMEM: props (ns, WB) i32, us (ns, WB) f32 — per-walker streams,
+      VMEM: ga (WB, 2) f32 = per-walker [g_coupling, alpha] — a COLUMN of
+            scalars rather than an SMEM constant, so one program can batch
+            walkers of different parallel-tempering replicas (different
+            beta => different dtau => different coupling);
+            props (ns, WB) i32, us (ns, WB) f32 — per-walker streams,
             site-major so each site reads one row;
             fields_in/fields (WB, ns) i32; g_in/g (WB, ns, ns) f32 (aliased)
       out:  acc (1, WB) f32
@@ -137,8 +141,8 @@ def _batched_update_kernel(k_delay, scal_ref, order_ref, props_ref, us_ref,
     ut_ref[...] = jnp.zeros_like(ut_ref)
     v_ref[...] = jnp.zeros_like(v_ref)
 
-    g_hs = scal_ref[0, 0]
-    alpha = scal_ref[0, 1]
+    g_hs = ga_ref[:, 0:1]                                # (WB, 1)
+    alpha = ga_ref[:, 1:2]                               # (WB, 1)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
 
     def lut(base, s):
@@ -161,8 +165,8 @@ def _batched_update_kernel(k_delay, scal_ref, order_ref, props_ref, us_ref,
         new = r + (r >= old).astype(r.dtype)                 # skip-old trick
         u = us_ref[pl.ds(idx, 1), :].reshape(WB, 1)
 
-        d_eta = lut(2, new) - lut(2, old)
-        gammaR = lut(6, new) / lut(6, old)
+        d_eta = lut(0, new) - lut(0, old)
+        gammaR = lut(4, new) / lut(4, old)
         bosonR = jnp.exp(alpha * g_hs * d_eta)
         delta = jnp.exp(g_hs * d_eta) - 1.0                  # (WB, 1)
 
@@ -220,14 +224,19 @@ def _pick_block(W: int, ns: int, k: int, itemsize: int = 4,
 
 
 @functools.partial(jax.jit, static_argnames=("k_delay", "interpret"))
-def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
-                                    fields: jax.Array, *, k_delay: int = 32,
-                                    interpret: bool = False):
-    """Walker-batched site update: one Pallas program per walker block.
+def _metropolis_batched_impl(g_vec: jax.Array, alpha_vec: jax.Array,
+                             keys: jax.Array, G: jax.Array,
+                             fields: jax.Array, *, k_delay: int = 32,
+                             interpret: bool = False):
+    """Batched site update over a flat walker axis with PER-WALKER coupling
+    scalars (g, alpha) — serves plain walker batches and mixed
+    replica-by-walker batches (parallel tempering) with one kernel.
 
-    keys: (W, ...) per-walker keys; G: (W, 1, ns, ns); fields: (W, ns).
-    The visit order is shared across walkers (drawn from keys[0]);
-    proposals and uniforms are per-walker.  Returns (G, fields, acc (W,)).
+    g_vec/alpha_vec: (W,); keys: (W, ...); G: (W, 1, ns, ns);
+    fields: (W, ns).  The visit order is shared across the batch (drawn
+    from keys[0]; state-independent, so each chain is still exactly
+    Metropolis); proposals and uniforms are per-walker.
+    Returns (G, fields, acc (W,)).
     """
     from dqmc_tpu import hsfield
     from dqmc_tpu.engine.sweep import draw_slice_randoms
@@ -245,16 +254,16 @@ def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
     us_t = us.T                                  # (ns, W)
 
     scal = jnp.concatenate([
-        model.g.astype(dtype).reshape(1),
-        model.alpha.astype(dtype).reshape(1),
         jnp.asarray(hsfield.ETA, dtype),
         jnp.asarray(hsfield.GAMMA, dtype),
-    ]).reshape(1, 10)
+    ]).reshape(1, 8)
+    ga = jnp.stack([g_vec.astype(dtype), alpha_vec.astype(dtype)],
+                   axis=1)                       # (W, 2)
 
     WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize)
     kern = functools.partial(_batched_update_kernel, k_delay)
 
-    def call_block(props_b, us_b, fields_b, G_b):
+    def call_block(ga_b, props_b, us_b, fields_b, G_b):
         # one program over a full walker block — all block shapes equal the
         # array dims, satisfying the TPU lane/sublane blocking rules
         return pl.pallas_call(
@@ -266,6 +275,7 @@ def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # ga
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # order
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # props
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # us
@@ -282,18 +292,20 @@ def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
                 pltpu.VMEM((WB, k_delay, ns), dtype),  # Ut
                 pltpu.VMEM((WB, k_delay, ns), dtype),  # V
             ],
-            input_output_aliases={5: 0},
+            input_output_aliases={6: 0},
             interpret=interpret,
-        )(scal, order.astype(jnp.int32).reshape(1, ns), props_b, us_b,
+        )(scal, ga_b, order.astype(jnp.int32).reshape(1, ns), props_b, us_b,
           fields_b, G_b)
 
     n_blocks = W // WB
     if n_blocks == 1:
         G_new, fields_new, acc = call_block(
-            props_t, us_t, fields.astype(jnp.int32), G.reshape(W, ns, ns))
+            ga, props_t, us_t, fields.astype(jnp.int32),
+            G.reshape(W, ns, ns))
     else:
         # chunk the walker axis; vmap adds a (sequential) grid dimension
         G_new, fields_new, acc = jax.vmap(call_block)(
+            ga.reshape(n_blocks, WB, 2),
             props_t.T.reshape(n_blocks, WB, ns).transpose(0, 2, 1),
             us_t.T.reshape(n_blocks, WB, ns).transpose(0, 2, 1),
             fields.astype(jnp.int32).reshape(n_blocks, WB, ns),
@@ -303,16 +315,69 @@ def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
             acc.reshape(W))
 
 
+def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
+                                    fields: jax.Array, *, k_delay: int = 32,
+                                    interpret: bool = False):
+    """Walker-batched site update for a single (unbatched) model — a thin
+    wrapper that broadcasts the model's coupling scalars; see
+    _metropolis_batched_impl."""
+    W = G.shape[0]
+    g_vec = jnp.broadcast_to(model.g, (W,))
+    alpha_vec = jnp.broadcast_to(model.alpha, (W,))
+    return _metropolis_batched_impl(g_vec, alpha_vec, keys, G, fields,
+                                    k_delay=k_delay, interpret=interpret)
+
+
 # ----------------------------------------------------------------------
-# vmap-aware entry point
+# vmap-aware entry points
 # ----------------------------------------------------------------------
+#
+# Batching stack: pallas_site_update (per walker) -> first vmap dispatches
+# to _site_update_batched (flat batch, per-walker scalars) -> every FURTHER
+# vmap (replica axes, nested walker axes) flattens into the same flat batch
+# via _site_update_batched's own custom_vmap rule.  Parallel-tempering
+# replica batches therefore run as ONE (R*W)-wide kernel with per-replica
+# coupling columns instead of a sequential per-replica loop.
+
+
+@jax.custom_batching.custom_vmap
+def _site_update_batched(g, alpha, keys, G, fields):
+    interpret = jax.default_backend() == "cpu"
+    return _metropolis_batched_impl(g, alpha, keys, G, fields,
+                                    interpret=interpret)
+
+
+@_site_update_batched.def_vmap
+def _site_update_batched_vmap(axis_size, in_batched, g, alpha, keys, G,
+                              fields):
+    B = axis_size
+
+    def ensure(x, b):
+        return x if b else jnp.broadcast_to(
+            x[None], (B,) + tuple(jnp.shape(x)))
+
+    g = ensure(g, in_batched[0])
+    alpha = ensure(alpha, in_batched[1])
+    keys = ensure(keys, in_batched[2])
+    G = ensure(G, in_batched[3])
+    fields = ensure(fields, in_batched[4])
+    W = G.shape[1]
+    Gn, fn, an = _site_update_batched(
+        g.reshape(B * W), alpha.reshape(B * W),
+        keys.reshape((B * W,) + keys.shape[2:]),
+        G.reshape((B * W,) + G.shape[2:]),
+        fields.reshape((B * W,) + fields.shape[2:]))
+    out = (Gn.reshape(G.shape), fn.reshape(fields.shape), an.reshape(B, W))
+    return out, (True, True, True)
+
 
 @jax.custom_batching.custom_vmap
 def pallas_site_update(model, key, G, fields_l):
     """Site update that picks the right Pallas kernel for its batching:
-    called per-walker it runs the single-walker kernel; under `vmap` over a
-    walker axis it dispatches to the walker-batched delayed-update kernel
-    (shared visit order per device, per-walker proposals/uniforms)."""
+    called per-walker it runs the single-walker kernel; under `vmap` over
+    walker and/or replica axes it dispatches to the flat batched
+    delayed-update kernel (shared visit order per device, per-walker
+    proposals/uniforms, per-replica coupling scalars)."""
     interpret = jax.default_backend() == "cpu"
     return metropolis_slice_update(model, key, G, fields_l,
                                    interpret=interpret)
@@ -320,20 +385,22 @@ def pallas_site_update(model, key, G, fields_l):
 
 @pallas_site_update.def_vmap
 def _pallas_site_update_vmap(axis_size, in_batched, model, key, G, fields_l):
-    model_batched = any(jax.tree_util.tree_leaves(in_batched[0]))
-    out_batched = (True, True, True)
-    if model_batched:
-        # replica axis (parallel tempering): per-replica models; run the
-        # unbatched kernel sequentially per replica slot
-        def one(args):
-            m, k, g, f = args
-            return pallas_site_update(m, k, g, f)
+    W = axis_size
+    mb = in_batched[0]
 
-        return jax.lax.map(one, (model, key, G, fields_l)), out_batched
-    interpret = jax.default_backend() == "cpu"
-    out = metropolis_slice_update_batched(model, key, G, fields_l,
-                                          interpret=interpret)
-    return out, out_batched
+    def ensure(x, b):
+        return x if b else jnp.broadcast_to(
+            x[None], (W,) + tuple(jnp.shape(x)))
+
+    # only the coupling scalars of the model enter the site update; expK
+    # and friends belong to propagation
+    g = model.g if mb.g else jnp.broadcast_to(model.g, (W,))
+    alpha = model.alpha if mb.alpha else jnp.broadcast_to(model.alpha, (W,))
+    key = ensure(key, in_batched[1])
+    G = ensure(G, in_batched[2])
+    fields_l = ensure(fields_l, in_batched[3])
+    out = _site_update_batched(g, alpha, key, G, fields_l)
+    return out, (True, True, True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -43,6 +43,12 @@ from dqmc_tpu.engine.uneqtime import sweep_unequal_time
 from dqmc_tpu.engine.state import WalkerState
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
 def partner_indices(n_replicas: int, attempt: int | jax.Array) -> jax.Array:
     """Alternating even/odd neighbor pairing (update.cpp:34-45).
 
@@ -56,26 +62,64 @@ def partner_indices(n_replicas: int, attempt: int | jax.Array) -> jax.Array:
     return (idx + offset) % n_replicas
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "f64_actions"))
 def replica_exchange(models, cfg: EngineConfig, states: WalkerState,
-                     attempt: jax.Array, key: jax.Array):
+                     attempt: jax.Array, key: jax.Array,
+                     f64_actions: bool = False):
     """One replica-exchange attempt over the leading replica axis.
 
     Returns (states, accept): accept is the per-replica decision vector
     (each pair shares one decision).
+
+    f64_actions=True computes both actions from float64 stack rebuilds even
+    for an f32 chain (requires jax_enable_x64).  In f32 the log-determinant
+    carries O(1..10) absolute error (a sum of hundreds of logs spanning
+    beta*W), which biases the joint Metropolis rule; exchanges are
+    infrequent, so the two f64 rebuilds per attempt are cheap insurance.
+    The exchanged state itself is cast back to the chain dtype.
+
+    Design note — why configurations travel rather than temperatures
+    (SURVEY.md suggested the beta-swap as "cheaper"): the O(nt ns^3/n_stab)
+    cross-action rebuild is required under EITHER convention (S_{beta_r} of
+    the partner's fields has no incremental relation to anything cached),
+    so the only difference is what crosses the ICI link — an O(nt ns) int
+    field block here versus, for the beta-swap, re-sorting each O(ns^2)
+    Green's function (plus stack) back to fixed-beta measurement streams
+    before every measurement, because analysis pools per-beta files
+    (analysis.py:46-48).  Swapping fields is the cheaper and simpler
+    equivalent on a mesh.
     """
     R = states.fields.shape[0]
     partner = partner_indices(R, attempt)
+    chain_dtype = states.G.dtype
 
     # --- swap field configurations (MPI_Sendrecv, update.cpp:64-66) ---
     fields_partner = jnp.take(states.fields, partner, axis=0)
 
     # --- own and cross actions (update.cpp:72-81) ---
-    action = jax.vmap(lambda m, f, ld: m.global_action(f, ld))
-    S_self = action(models, states.fields, states.log_det_M)
-    stack_x, G_x, log_det_x = jax.vmap(
-        lambda m, f: rebuild_stack_and_greens(m, cfg, f))(models, fields_partner)
-    S_cross = action(models, fields_partner, log_det_x)
+    if f64_actions and chain_dtype != jnp.float64:
+        models_hi = _cast_floats(models, jnp.float64)
+        action = jax.vmap(lambda m, f, ld: m.global_action(f, ld))
+        # the chain's own f32 log_det_M is not trustworthy: recompute both
+        # own and cross log-dets at f64
+        _, _, log_det_own = jax.vmap(
+            lambda m, f: rebuild_stack_and_greens(m, cfg, f))(
+                models_hi, states.fields)
+        S_self = action(models_hi, states.fields, log_det_own)
+        stack_hi, G_hi, log_det_hi = jax.vmap(
+            lambda m, f: rebuild_stack_and_greens(m, cfg, f))(
+                models_hi, fields_partner)
+        S_cross = action(models_hi, fields_partner, log_det_hi)
+        stack_x = _cast_floats(stack_hi, chain_dtype)
+        G_x = G_hi.astype(chain_dtype)
+        log_det_x = log_det_hi.astype(chain_dtype)
+    else:
+        action = jax.vmap(lambda m, f, ld: m.global_action(f, ld))
+        S_self = action(models, states.fields, states.log_det_M)
+        stack_x, G_x, log_det_x = jax.vmap(
+            lambda m, f: rebuild_stack_and_greens(m, cfg, f))(models,
+                                                              fields_partner)
+        S_cross = action(models, fields_partner, log_det_x)
 
     # --- joint Metropolis decision with shared randomness (update.cpp:84-105)
     dS = (S_cross + jnp.take(S_cross, partner)
@@ -114,6 +158,13 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
 
     log = print if verbose else (lambda *a, **k: None)
     dtype = _resolve_dtype(params)
+
+    # f32 chains get f64 exchange actions by default (the f32 log-det bias
+    # is documented in NOTES.md); x64 must be on for the cast to be real
+    f64_actions = params.get_bool("ParallelTempering", "f64_actions",
+                                  dtype == jnp.float32)
+    if f64_actions:
+        jax.config.update("jax_enable_x64", True)
 
     betas = params.get_float_list("ParallelTempering", "betas")
     exchange_step = params.get_int("ParallelTempering", "sweep_steps")
@@ -226,7 +277,8 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
             attempt += 1
             key, k_ex = jax.random.split(key)
             states, acc = replica_exchange(models, cfg, states,
-                                           jnp.asarray(attempt), k_ex)
+                                           jnp.asarray(attempt), k_ex,
+                                           f64_actions=f64_actions)
             accepted += float(jnp.mean(acc))
         states = step(models, states)
         if uneq and uneq_fn is not None:

@@ -93,9 +93,11 @@ def test_custom_vmap_dispatches_to_batched():
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
 
 
-def test_custom_vmap_model_batched_fallback():
-    """vmap over (model, state) — the replica-axis case — must fall back to
-    per-replica kernels and still be correct."""
+def test_custom_vmap_model_batched_runs_one_kernel():
+    """vmap over (model, state) — the replica-axis case — dispatches to the
+    flat batched kernel with per-replica coupling scalars (shared
+    state-independent visit order from keys[0], per-replica
+    proposals/uniforms), matching the sequential oracle per replica."""
     lat = square_lattice(4, 4)
     ns, R = 16, 2
     models = jax.tree_util.tree_map(
@@ -109,9 +111,43 @@ def test_custom_vmap_model_batched_fallback():
     keys = jax.random.split(jax.random.PRNGKey(17), R)
 
     G1, f1, a1 = jax.vmap(pallas_site_update)(models, keys, G, fl)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
     for r in range(R):
         mr = jax.tree_util.tree_map(lambda x: x[r], models)
-        Gr, fr, ar, _ = local_update_slice(mr, keys[r], G[r], fl[r])
+        _, props, us = draw_slice_randoms(keys[r], ns, jnp.float64)
+        Gr, fr, ar, _ = local_update_core(mr, G[r], fl[r], order, props, us)
         assert bool((fr == f1[r]).all())
         np.testing.assert_allclose(np.asarray(Gr), np.asarray(G1[r]),
                                    atol=1e-12)
+        np.testing.assert_allclose(float(ar), float(a1[r]))
+
+
+def test_double_vmap_replica_by_walker_flattens():
+    """vmap(vmap(...)) — replicas outside, walkers inside — must flatten to
+    one (R*W) batch and match the per-(replica,walker) oracle."""
+    lat = square_lattice(4, 4)
+    ns, R, W = 16, 2, 3
+    models = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=b, nt=16,
+                                  dtype=jnp.float64) for b in (2.0, 4.0)])
+    rng = np.random.default_rng(4)
+    G = jnp.asarray(rng.standard_normal((R, W, 1, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (R, W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(23), R * W).reshape(R, W, -1)
+
+    G1, f1, a1 = jax.vmap(lambda m, k, g, f: jax.vmap(
+        lambda kk, gg, ff: pallas_site_update(m, kk, gg, ff))(k, g, f))(
+            models, keys, G, fl)
+    # the flat batch draws its shared order from the FIRST flattened key
+    order, _, _ = draw_slice_randoms(keys[0, 0], ns, jnp.float64)
+    for r in range(R):
+        mr = jax.tree_util.tree_map(lambda x: x[r], models)
+        for w in range(W):
+            _, props, us = draw_slice_randoms(keys[r, w], ns, jnp.float64)
+            Gr, fr, ar, _ = local_update_core(mr, G[r, w], fl[r, w], order,
+                                              props, us)
+            assert bool((fr == f1[r, w]).all()), (r, w)
+            np.testing.assert_allclose(np.asarray(Gr), np.asarray(G1[r, w]),
+                                       atol=1e-12)

@@ -169,3 +169,38 @@ betas = 2.0, 1.5, 1.0, 0.5
     assert summary.max_precision_error < 1e-8
     for r in range(4):
         assert (tmp_path / "results" / f"data_{r}.h5").exists()
+
+
+def test_f64_actions_match_f64_chain_decisions():
+    """An f32 chain with f64_actions=True must make the same exchange
+    decisions as an all-f64 replica set holding the same fields (the f32
+    log-det bias documented in NOTES.md is thereby removed)."""
+    betas = (2.0, 1.0, 3.0, 1.5)
+    lat = square_lattice(2, 2)
+    nt, n_stab = 8, 2
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+
+    def setup(dtype):
+        models = stack_models([
+            AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=b,
+                                    nt=nt, dtype=dtype) for b in betas])
+        states = jax.vmap(lambda m, k: init_state(m, cfg, k))(
+            models, jax.random.split(jax.random.PRNGKey(3), len(betas)))
+        return models, states
+
+    m64, s64 = setup(jnp.float64)
+    m32, s32 = setup(jnp.float32)
+    # identical integer fields by construction (same keys); pin it
+    np.testing.assert_array_equal(np.asarray(s64.fields),
+                                  np.asarray(s32.fields))
+
+    for attempt in (1, 2, 3):
+        key = jax.random.PRNGKey(100 + attempt)
+        s64, acc64 = replica_exchange(m64, cfg, s64, jnp.asarray(attempt),
+                                      key)
+        s32, acc32 = replica_exchange(m32, cfg, s32, jnp.asarray(attempt),
+                                      key, f64_actions=True)
+        np.testing.assert_array_equal(np.asarray(acc64), np.asarray(acc32))
+        np.testing.assert_array_equal(np.asarray(s64.fields),
+                                      np.asarray(s32.fields))
+        assert s32.G.dtype == jnp.float32  # chain dtype preserved
