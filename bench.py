@@ -57,6 +57,7 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     import jax.numpy as jnp
     from dqmc_tpu.engine import (EngineConfig, init_state, reset_error_stats,
                                  sweep_pair)
+    from dqmc_tpu.engine.fused import supports_fused, sweep_pair_fused
     from dqmc_tpu.lattice import square_lattice
     from dqmc_tpu.models import AttractiveHubbard
 
@@ -66,12 +67,16 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
                                     nt=NT, dtype=dtype,
                                     checkerboard=checkerboard)
-    # The Pallas site-update kernel is f32; the f64 parity mode uses the
-    # delayed rank-k path (same Markov chain, MXU-resident linear algebra).
-    if dtype == jnp.float32:
+    # f32: the fused block kernel (engine/fused.py) where supported, else
+    # the per-slice Pallas site-update; f64 parity mode uses the delayed
+    # rank-k path (Pallas kernels are f32).
+    fused = dtype == jnp.float32
+    if fused:
         cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
+        fused = supports_fused(model, cfg)
     else:
         cfg = EngineConfig(nt=NT, n_stab=NSTAB, delay_rank=32)
+    log(f"engine: {'fused block kernel' if fused else 'per-slice'}")
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
     t0 = time.perf_counter()
@@ -82,6 +87,8 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     @jax.jit
     def chunk(states):
         def body(s, _):
+            if fused:
+                return sweep_pair_fused(model, cfg, s), None
             return jax.vmap(lambda w: sweep_pair(model, cfg, w))(s), None
         states, _ = jax.lax.scan(body, states, None, length=inner)
         return states

@@ -1,0 +1,432 @@
+"""Fused propagate+update block kernel: one Pallas program per
+stabilization block (the hot loop of dqmc.cpp:337-456 minus the QR).
+
+Motivation (measured on TPU v5e, 16x16 beta=8 nt=160 n_stab=5, W=16 f32):
+a sweep-pair spends ~224 ms in the stabilization QR/LU custom calls
+(irreducible with XLA primitives; partial pivoting is load-bearing, see
+ops/linalg.py), ~28 ms in propagation GEMM fusions, ~100 ms in per-slice
+site-update kernel launches, and ~76 ms in scan/cond/slot dispatch.  This
+module attacks everything except the QR/LU: the Green's function and its
+transpose stay VMEM-resident across all n_stab slices of a block, the
+B G B^-1 wrap and the running block product are in-kernel MXU matmuls,
+the Metropolis site loop runs in place (the delayed rank-k scheme of
+ops/kernels.py), and the per-slice random streams are drawn in one batched
+pass before the block scan (one (n_stab, ns) sort instead of n_stab
+separate ones).
+
+Layout notes:
+- All left-multiplications are expressed as right-multiplications of
+  transposes plus ONE explicit (WB, ns, ns) transpose per slice (Mosaic
+  has a fast transpose; lane-dynamic slicing does not exist here at all).
+- The block product is maintained TRANSPOSED (BbarT' = BbarT expK^T
+  diag(expV)) so the forward accumulation is also right-multiplying; it is
+  transposed once on output.
+- n_stab is a Python constant: the slice loop is unrolled inside the
+  kernel, so every stream offset is static.
+
+The fused path requires nt % n_stab == 0 and a single stored flavor
+(attractive model, det_power = 2); the engine falls back to the per-slice
+scan path otherwise.
+
+Markov-chain note: the fused sweep realizes the same family of chains as
+the walker-batched kernel path (shared per-slice visit order across the
+device's walkers, per-walker proposals/uniforms) but draws the slice keys
+with one split per sweep instead of one per slice, so individual
+trajectories differ from the unfused path by key schedule (statistically
+equivalent; equivalence of the update MATH is pinned per-slice in
+tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dqmc_tpu import hsfield
+from dqmc_tpu.engine.state import EngineConfig, WalkerState
+from dqmc_tpu.engine.sweep import (
+    _inv_pair_f,
+    _mat_mul_ldr_f,
+    draw_slice_randoms,
+    slot_get,
+    slot_set,
+)
+
+
+def _fused_block_kernel(n_slices, k_delay, forward,
+                        scal_ref, ga_ref, order_ref, props_ref, us_ref,
+                        expK_ref, expKT_ref, invexpKT_ref, expK2_ref,
+                        fields_in_ref, g_in_ref,
+                        g_ref, fields_ref, bbar_ref, acc_ref,
+                        gt_ref, ut_ref, v_ref):
+    """One stabilization block for a walker block WB.
+
+    SMEM: scal (1, 8) = [eta0..3, gamma0..3]; order (n_slices, ns) i32.
+    VMEM in: ga (WB, 2) per-walker [g, alpha];
+             props (n_slices*ns, WB) i32, us (n_slices*ns, WB) f32;
+             expK / expKT / invexpKT / expK2 (ns, ns): for forward these
+             are (expK, expK^T used twice, invexpK^T, unused=expK);
+             for backward (expK, expK^T, invexpK^T, expK) — see wrap();
+             fields_in (WB, n_slices*ns) i32; g_in (WB, ns, ns).
+    VMEM out: g (aliased with g_in), fields (WB, n_slices*ns),
+              bbar (WB, ns, ns) — the block product accumulated IN
+              TRANSPOSE for forward (the caller transposes; keeping the
+              accumulator in the output ref saves 2 MB of VMEM, which is
+              the difference between WB=8 fitting and OOM), NORMAL form
+              for backward; acc (1, WB).
+    scratch: gt (WB, ns, ns); ut, v (WB, k_delay, ns).
+    """
+    WB, ns = g_ref.shape[0], g_ref.shape[-1]
+    dtype = g_ref.dtype
+    g_ref[...] = g_in_ref[...]
+    gt_ref[...] = jnp.swapaxes(g_in_ref[...], -1, -2)
+    fields_ref[...] = fields_in_ref[...]
+    eyeT = jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 1)
+    bbar_ref[...] = jnp.broadcast_to(
+        jnp.where(eyeT, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype)),
+        (WB, ns, ns))
+
+    g_hs = ga_ref[:, 0:1]                                 # (WB, 1)
+    alpha = ga_ref[:, 1:2]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+
+    def lut(base, s):
+        out = jnp.zeros(s.shape, dtype)
+        for v4 in range(4):
+            out = jnp.where(s == v4, scal_ref[0, base + v4], out)
+        return out
+
+    def right(X, M_ref):
+        # X (WB, ns, ns) @ M (ns, ns) on the MXU, normal layout
+        return jax.lax.dot_general(
+            X, M_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def left_t(X, MT_ref):
+        # (M @ X)^T for per-batch X with M given TRANSPOSED — one
+        # dot_general contracting X's ROW axis; no explicit transpose:
+        # out[w, k, b] = sum_j X[w, j, k] M[b, j] = (M X)[b, k]^T
+        return jax.lax.dot_general(
+            X, MT_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def expv(l):
+        f = fields_ref[:, l * ns:(l + 1) * ns]            # (WB, ns) static
+        return jnp.exp(g_hs * lut(0, f))                  # (WB, ns)
+
+    # Similarity wraps maintain G and G^T as two INDEPENDENT matmul chains
+    # (4 MXU matmuls/slice, zero transposes — Mosaic transposes of
+    # (WB, ns, ns) cost more than the extra matmuls):
+    #   normal:    G'   = (M2^T (G^T) M1^T)^T   via left_t(right(GT,.),.)
+    #   transpose: G'^T = (M1 (G) M2)^T          via left_t(right(G,.),.)
+
+    def wrap_forward(ev):
+        # G' = diag(ev) (expK G invexpK) diag(1/ev)
+        core_t = left_t(right(g_ref[...], expK2_ref), expKT_ref)
+        # M = invexpK^T => pass MT = invexpK (expK2_ref holds it forward)
+        core = left_t(right(gt_ref[...], expKT_ref), expK2_ref)
+        gt_ref[...] = core_t * ev[:, None, :] / ev[:, :, None]
+        g_ref[...] = core * ev[:, :, None] / ev[:, None, :]
+
+    def wrap_backward(ev):
+        # G' = invexpK (diag(1/ev) G diag(ev)) expK
+        S = g_ref[...] / ev[:, :, None] * ev[:, None, :]
+        ST = gt_ref[...] / ev[:, None, :] * ev[:, :, None]
+        gt_ref[...] = left_t(right(S, expK_ref), invexpKT_ref)
+        g_ref[...] = left_t(right(ST, invexpKT_ref), expK_ref)
+
+    def site_loop(l):
+        ut_ref[...] = jnp.zeros_like(ut_ref)
+        v_ref[...] = jnp.zeros_like(v_ref)
+        base = l * ns
+
+        def body(idx, acc):
+            slot = jax.lax.rem(idx, k_delay)
+            i = order_ref[l, idx]
+            onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
+                               jnp.asarray(0.0, dtype))
+            fields = fields_ref[:, base:base + ns]        # (WB, ns)
+            old = jnp.sum(fields * (lane_ids == i), axis=1, keepdims=True)
+            r = props_ref[pl.ds(base + idx, 1), :].reshape(WB, 1)
+            new = r + (r >= old).astype(r.dtype)
+            u = us_ref[pl.ds(base + idx, 1), :].reshape(WB, 1)
+
+            d_eta = lut(0, new) - lut(0, old)
+            gammaR = lut(4, new) / lut(4, old)
+            bosonR = jnp.exp(alpha * g_hs * d_eta)
+            delta = jnp.exp(g_hs * d_eta) - 1.0
+
+            row_g = g_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
+            col_g = gt_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
+            ut_all = ut_ref[...]
+            v_all = v_ref[...]
+            ucoef = jnp.sum(ut_all * onehot[None], axis=2)
+            vcoef = jnp.sum(v_all * onehot[None], axis=2)
+            row_eff = row_g + jnp.sum(ucoef[:, :, None] * v_all, axis=1)
+            col_eff = col_g + jnp.sum(vcoef[:, :, None] * ut_all, axis=1)
+            G_ii = jnp.sum(row_eff * onehot, axis=1, keepdims=True)
+
+            r_flv = 1.0 + (1.0 - G_ii) * delta
+            R = gammaR * bosonR * r_flv * r_flv
+            accept = u < jnp.minimum(jnp.asarray(1.0, dtype), jnp.abs(R))
+            prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
+
+            ut_ref[:, pl.ds(slot, 1), :] = (prefac * col_eff)[:, None, :]
+            v_ref[:, pl.ds(slot, 1), :] = (row_eff - onehot)[:, None, :]
+            fields_ref[:, base:base + ns] = jnp.where(
+                (lane_ids == i) & accept, new.astype(fields.dtype), fields)
+
+            @pl.when(slot == k_delay - 1)
+            def _flush():
+                dn = (((1,), (1,)), ((0,), (0,)))
+                g_ref[...] += jax.lax.dot_general(
+                    ut_ref[...], v_ref[...], dn, preferred_element_type=dtype)
+                gt_ref[...] += jax.lax.dot_general(
+                    v_ref[...], ut_ref[...], dn, preferred_element_type=dtype)
+                ut_ref[...] = jnp.zeros_like(ut_ref)
+                v_ref[...] = jnp.zeros_like(v_ref)
+
+            return acc + accept.astype(dtype).reshape(1, WB)
+
+        acc_ref[...] += jax.lax.fori_loop(0, ns, body,
+                                          jnp.zeros((1, WB), dtype))
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for step in range(n_slices):
+        if forward:
+            l = step
+            wrap_forward(expv(l))                         # pre-update fields
+            site_loop(l)
+            # BbarT' = BbarT expK^T diag(expV_post)
+            bbar_ref[...] = right(bbar_ref[...], expKT_ref) \
+                * expv(l)[:, None, :]
+        else:
+            l = n_slices - 1 - step
+            site_loop(l)
+            ev = expv(l)                                  # post-update fields
+            wrap_backward(ev)
+            # Bbar' = Bbar diag(ev) expK (normal form)
+            bbar_ref[...] = right(bbar_ref[...] * ev[:, None, :], expK_ref)
+
+    acc_ref[...] = acc_ref[...] / (ns * n_slices)
+
+
+def _pick_block(W: int, ns: int, k: int, itemsize: int,
+                budget: int = 10 * 2**20) -> int:
+    """Walker-block size for the fused kernel.
+
+    VMEM per walker: G + GT + BbarT (+ the aliased input and the un-aliased
+    fields/Bbar outputs are small or shared).  Unlike the site-update-only
+    kernel, do NOT halve for multi-block runs: the slice loop is unrolled
+    in-kernel, so the pipeline's double-buffering overhead is amortized over
+    n_stab slices, and a too-small WB starves the MXU (batch-1 matmuls) —
+    measured 32 -> 46 sweeps/s going from WB=1 to WB=8 on the headline run.
+    """
+    per_walker = (3 * ns * ns + 2 * k * ns) * itemsize
+    wb = max(1, min(W, budget // max(per_walker, 1)))
+    while W % wb:
+        wb -= 1
+    return wb
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_slices", "k_delay", "forward",
+                                    "interpret"))
+def fused_block(model, order, props, us, G, fields_blk, *,
+                n_slices: int, k_delay: int = 32, forward: bool = True,
+                interpret: bool = False):
+    """Run one stabilization block for a walker batch.
+
+    order: (n_slices, ns) i32 shared visit orders; props/us:
+    (W, n_slices, ns) per-walker streams; G: (W, 1, ns, ns);
+    fields_blk: (W, n_slices, ns) the block's field slices (time-major per
+    walker).  Returns (G', fields_blk', Bbar (W, 1, ns, ns), acc (W,)) with
+    Bbar the block's propagator product in application order.
+    """
+    W, nfl, ns, _ = G.shape
+    assert nfl == 1
+    dtype = G.dtype
+    if ns % k_delay:
+        k_delay = next(k for k in (16, 8, 4, 2, 1) if ns % k == 0)
+
+    scal = jnp.concatenate([
+        jnp.asarray(hsfield.ETA, dtype),
+        jnp.asarray(hsfield.GAMMA, dtype),
+    ]).reshape(1, 8)
+    ga = jnp.stack([jnp.broadcast_to(model.g, (W,)).astype(dtype),
+                    jnp.broadcast_to(model.alpha, (W,)).astype(dtype)],
+                   axis=1)
+    expK = model.expK.astype(dtype)
+    invexpK = model.invexpK.astype(dtype)
+    mats = (expK, expK.T, invexpK.T, invexpK if forward else expK)
+
+    # site-major streams: row l*ns+idx = site visit idx of slice l
+    props_t = props.astype(jnp.int32).reshape(W, n_slices * ns).T
+    us_t = us.reshape(W, n_slices * ns).T
+    fields_flat = fields_blk.astype(jnp.int32).reshape(W, n_slices * ns)
+
+    WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize)
+    kern = functools.partial(_fused_block_kernel, n_slices, k_delay, forward)
+
+    def call_block(ga_b, props_b, us_b, fields_b, G_b):
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((WB, ns, ns), dtype),
+                jax.ShapeDtypeStruct((WB, n_slices * ns), jnp.int32),
+                jax.ShapeDtypeStruct((WB, ns, ns), dtype),
+                jax.ShapeDtypeStruct((1, WB), dtype),
+            ),
+            in_specs=[smem(), vmem(), smem(), vmem(), vmem(),
+                      vmem(), vmem(), vmem(), vmem(), vmem(), vmem()],
+            out_specs=(vmem(), vmem(), vmem(), vmem()),
+            scratch_shapes=[
+                pltpu.VMEM((WB, ns, ns), dtype),        # GT
+                pltpu.VMEM((WB, k_delay, ns), dtype),   # Ut
+                pltpu.VMEM((WB, k_delay, ns), dtype),   # V
+            ],
+            input_output_aliases={10: 0},
+            interpret=interpret,
+        )(scal, ga_b, order.astype(jnp.int32), props_b, us_b,
+          *mats, fields_b, G_b)
+
+    n_blocks = W // WB
+    if n_blocks == 1:
+        G_new, fields_new, bbar, acc = call_block(
+            ga, props_t, us_t, fields_flat, G.reshape(W, ns, ns))
+    else:
+        G_new, fields_new, bbar, acc = jax.vmap(call_block)(
+            ga.reshape(n_blocks, WB, 2),
+            props_t.T.reshape(n_blocks, WB, n_slices * ns).transpose(0, 2, 1),
+            us_t.T.reshape(n_blocks, WB, n_slices * ns).transpose(0, 2, 1),
+            fields_flat.reshape(n_blocks, WB, n_slices * ns),
+            G.reshape(n_blocks, WB, ns, ns))
+
+    bbar = bbar.reshape(W, 1, ns, ns)
+    if forward:
+        # the kernel accumulates the forward block product transposed
+        bbar = jnp.swapaxes(bbar, -1, -2)
+    return (G_new.reshape(W, 1, ns, ns),
+            fields_new.reshape(W, n_slices, ns),
+            bbar, acc.reshape(W))
+
+
+# ----------------------------------------------------------------------
+# batched fused sweep driver
+# ----------------------------------------------------------------------
+
+def supports_fused(model, cfg: EngineConfig) -> bool:
+    return (model.n_flavor == 1 and model.det_power == 2
+            and not model.checkerboard and cfg.nt % cfg.n_stab == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "forward", "interpret"))
+def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
+                forward: bool = True,
+                interpret: bool = False) -> WalkerState:
+    """One walker-BATCHED Monte-Carlo sweep using the fused block kernel.
+
+    states carries a leading walker axis (W, ...).  Produces the same
+    per-block stabilization (mat_mul_ldr fold + dag inverse) as
+    engine.sweep, with everything between stabilizations fused into one
+    Pallas program per block.
+    """
+    if not supports_fused(model, cfg):
+        raise NotImplementedError("fused sweep: single-flavor dense model "
+                                  "with nt % n_stab == 0 required")
+    W = states.G.shape[0]
+    nfl, ns = model.n_flavor, model.n_sites
+    dtype = model.dtype
+    n_stab, n_stack = cfg.n_stab, cfg.n_stack
+
+    # one key split per sweep: per-walker per-slice keys
+    keys = jax.vmap(lambda k: jax.random.split(k, cfg.nt + 1))(states.key)
+    new_key = keys[:, cfg.nt]
+    slice_keys = keys[:, :cfg.nt]                     # (W, nt, ...)
+    # shared visit order per slice from walker 0; per-walker props/us
+    orders = jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[0])(slice_keys[0])
+    props = jax.vmap(jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[1]))(slice_keys)
+    us = jax.vmap(jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[2]))(slice_keys)
+
+    orders = orders.reshape(n_stack, n_stab, ns)
+    props = props.reshape(W, n_stack, n_stab, ns)
+    us = us.reshape(W, n_stack, n_stab, ns)
+
+    stabilize_f = jax.vmap(
+        lambda G, stack, bbar, i: _stabilize_one(G, stack, bbar, i, forward),
+        in_axes=(0, 0, 0, None))
+
+    def block_step(carry, xs):
+        fields, G, stack, log_det, acc, emax, esum, ecnt = carry
+        i_stack, order_b, props_b, us_b = xs
+        l0 = i_stack * n_stab
+        fields_blk = jax.lax.dynamic_slice_in_dim(fields, l0, n_stab, axis=1)
+        G, fields_blk, bbar, acc_b = fused_block(
+            model, order_b, props_b, us_b, G, fields_blk,
+            n_slices=n_stab, forward=forward, interpret=interpret)
+        fields = jax.lax.dynamic_update_slice_in_dim(fields, fields_blk, l0,
+                                                     axis=1)
+        G_new, stack, log_det_new, err = stabilize_f(G, stack, bbar, i_stack)
+        acc = acc + acc_b * (n_stab / cfg.nt)
+        emax = jnp.maximum(emax, err)
+        esum = esum + err
+        ecnt = ecnt + jnp.ones_like(ecnt)
+        return (fields, G_new, stack, log_det_new, acc, emax, esum,
+                ecnt), None
+
+    i_stacks = jnp.arange(n_stack, dtype=jnp.int32)
+    if not forward:
+        i_stacks = i_stacks[::-1]
+        orders = orders[::-1]
+        props = props[:, ::-1]
+        us = us[:, ::-1]
+    xs = (i_stacks, orders, jnp.moveaxis(props, 0, 1),
+          jnp.moveaxis(us, 0, 1))
+
+    carry = (states.fields, states.G, states.stack, states.log_det_M,
+             states.acc_sum, states.err_max, states.err_sum,
+             states.err_count)
+    carry, _ = jax.lax.scan(block_step, carry, xs)
+    (fields, G, stack, log_det, acc, emax, esum, ecnt) = carry
+    return dataclasses.replace(
+        states, fields=fields, G=G, stack=stack, log_det_M=log_det,
+        key=new_key, acc_sum=acc, err_max=emax, err_sum=esum, err_count=ecnt)
+
+
+def _stabilize_one(G, stack, Bbar, i_stack, forward):
+    """Per-walker stabilization at a block boundary (same math as
+    engine.sweep.sweep's stabilize)."""
+    if forward:
+        F_new = _mat_mul_ldr_f(Bbar, slot_get(stack, i_stack))
+        stack = slot_set(stack, i_stack + 1, F_new)
+        G_new, log_det = _inv_pair_f(F_new, slot_get(stack, i_stack + 2))
+    else:
+        T_new = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
+                               slot_get(stack, i_stack + 2))
+        stack = slot_set(stack, i_stack + 1, T_new)
+        G_new, log_det = _inv_pair_f(slot_get(stack, i_stack), T_new)
+    err = jnp.max(jnp.abs(G - G_new))
+    return G_new, stack, log_det, err
+
+
+def sweep_pair_fused(model, cfg: EngineConfig, states: WalkerState,
+                     interpret: bool = False) -> WalkerState:
+    """Walker-batched forward+backward sweep pair on the fused path."""
+    states = sweep_fused(model, cfg, states, forward=True,
+                         interpret=interpret)
+    return sweep_fused(model, cfg, states, forward=False,
+                       interpret=interpret)

@@ -119,27 +119,43 @@ def _shifted_cholqr2(A: jax.Array):
     return Q2, jnp.swapaxes(jnp.matmul(C1, C2), -1, -2)
 
 
-# Orthogonalization backend for the f32 engine path.  "householder"
-# (default) is XLA's QR custom call.  "cholqr2" is ~2.5x faster on TPU but
-# UNSAFE for the propagator stack: the column-equilibrated fold inputs
-# still carry cond up to ~1e6 (the previous L*d structure mixes scales into
-# the rows), and a gram-based factorization cannot resolve singular values
-# below sqrt(eps_f32)*sigma_max — measured NaNs/O(1) G errors at beta=8.
-# Kept as an escape hatch / experiment knob; the production f32 fast path
-# instead removes the LU custom calls (see _qr_solve_logdet).
-_F32_ORTH = "householder"
+# Orthogonalization backend for the f32 engine path:
+# - "auto" (default): the Pallas blocked-CGS2 kernel (ops/qr_kernel.py) on
+#   TPU — columnwise stable like Householder, ~3x faster than the geqrf
+#   custom call, chain accuracy validated equal (tests/test_qr_kernel.py);
+#   XLA Householder elsewhere (the kernel would run interpreted on CPU).
+# - "cgs2" / "householder": force one of the above.
+# - "cholqr2": the shifted-CholeskyQR2 experiment — UNSAFE for the
+#   propagator stack: fold inputs carry cond up to ~1e6 even after column
+#   equilibration (the previous L*d structure mixes scales into the rows),
+#   and a gram-based factorization cannot resolve singular values below
+#   sqrt(eps_f32)*sigma_max — measured NaNs/O(1) G errors at beta=8.  Kept
+#   as an escape hatch / documentation of the measurement.
+# f64 always uses Householder QR (the parity-grade path).
+_F32_ORTH = "auto"
 
 
 def set_f32_orthogonalization(method: str) -> None:
     global _F32_ORTH
-    if method not in ("cholqr2", "householder"):
+    if method not in ("auto", "cgs2", "cholqr2", "householder"):
         raise ValueError(f"unknown orthogonalization method: {method}")
     _F32_ORTH = method
 
 
+def _f32_mode() -> str:
+    if _F32_ORTH == "auto":
+        return "cgs2" if jax.default_backend() == "tpu" else "householder"
+    return _F32_ORTH
+
+
 def _qr(A: jax.Array):
-    if A.dtype == jnp.float32 and _F32_ORTH == "cholqr2":
-        return _shifted_cholqr2(A)
+    if A.dtype == jnp.float32:
+        mode = _f32_mode()
+        if mode == "cgs2":
+            from dqmc_tpu.ops.qr_kernel import cgs2_qr
+            return cgs2_qr(A)
+        if mode == "cholqr2":
+            return _shifted_cholqr2(A)
     return jnp.linalg.qr(A)
 
 
@@ -268,19 +284,30 @@ def _qr_solve_logdet(A: jax.Array, B: jax.Array):
     f64: via QR + TriangularSolve — XLA:TPU implements those for f64
     (emulated) but not LuDecomposition, so the f64 path stays LU-free and
     runs on TPU.
-    f32: via LU (jnp.linalg.solve / slogdet), which XLA:TPU implements
-    natively and which is substantially cheaper than Householder QR —
-    stabilization restabilizations are the sweep's hot spot after the
-    Pallas update kernels.  M has O(1) ENTRIES by construction (the
-    D_large/D_small split), but its CONDITION grows with beta — measured
-    up to ~1e7 at beta=8 — so gram/Cholesky-based solvers (normal
-    equations, even with iterative refinement) and gram-based log-dets
-    were measured to lose the chain (G errors O(1), log|det| off by ~30):
-    partial-pivoted LU is load-bearing here, exactly like the reference's
+    f32 on TPU (auto/cgs2 mode): via the Pallas CGS2 QR —
+    X = R^-1 (Q^T B) with a (cheap, matmul-rich) XLA triangular solve and
+    log|det A| = sum log diag R; replaces BOTH the getrf custom call and
+    slogdet's second factorization.  QR-solve without pivoting is
+    norm-wise backward stable, so accuracy tracks partial-pivoted LU
+    (validated at cond(M) ~ 1e7, beta=8 — see tests/test_qr_kernel.py).
+    f32 elsewhere: LU (jnp.linalg.solve / slogdet).  M has O(1) ENTRIES by
+    construction (the D_large/D_small split) but NOT O(1) condition —
+    gram/Cholesky-based solvers (normal equations, even with iterative
+    refinement) and gram-based log-dets were measured to lose the chain
+    (G errors O(1), log|det| off by ~30); a genuinely stable
+    factorization is load-bearing here, exactly like the reference's
     arma::solve (stablelinalg.cpp:112).
     """
     if A.dtype == jnp.float64:
         Q, R = jnp.linalg.qr(A)
+        X = jax.lax.linalg.triangular_solve(
+            R, jnp.swapaxes(Q, -1, -2) @ B, left_side=True, lower=False)
+        logabs = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))), axis=-1)
+        return X, logabs
+    if _f32_mode() == "cgs2":
+        from dqmc_tpu.ops.qr_kernel import cgs2_qr
+        Q, R = cgs2_qr(A)
         X = jax.lax.linalg.triangular_solve(
             R, jnp.swapaxes(Q, -1, -2) @ B, left_side=True, lower=False)
         logabs = jnp.sum(

@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: batched blocked CGS2 QR factorization.
+
+Why this exists: XLA:TPU's Householder QR (geqrf + orgqr custom calls) and
+LU (getrf) are sequential-panel routines costing ~1.5-2.4 ms each at
+(16, 256, 256) f32, and the DQMC stabilization does one QR + one LU-solve
+per block — ~60% of the whole sweep.  Gram-based alternatives (CholeskyQR)
+die on these inputs (fold matrices reach cond ~1e6-1e7 even after column
+equilibration; the gram squares that past 1/eps_f32 — see ops/linalg.py).
+Classical Gram-Schmidt with reorthogonalization (CGS2) is columnwise
+stable like Householder ("twice is enough": full orthogonality for
+cond < ~1/eps), validated on the real chain in tests/test_qr_kernel.py
+— and it is built from dot products, so one VMEM-resident program
+factorizes the whole batch with MXU matmuls for the panel-external work
+and short VPU steps inside a 32-column panel.
+
+Layout: everything runs on A^T (rows = columns of A), so per-column access
+is sublane-dynamic (fast) and every reduction is along lanes.  R is
+produced transposed (RT[j, i] = R[i, j]) for the same reason; the wrapper
+transposes in XLA where it fuses into consumers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 32
+
+
+def _cgs2_kernel(n_panels, block, at_in_ref, qt_ref, rt_ref):
+    """In-place CGS2 on transposed matrices.
+
+    at_in (B, n, n): rows are the columns of A (aliased with qt output).
+    qt (B, n, n): rows are the columns of Q.
+    rt (B, n, n): RT[b, j, i] = R[i, j].
+    """
+    B, n, _ = qt_ref.shape
+    dtype = qt_ref.dtype
+    qt_ref[...] = at_in_ref[...]
+    rt_ref[...] = jnp.zeros_like(rt_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+
+    def dot_bn(X, Y):
+        # (B, a, n) x (B, c, n) -> (B, a, c), contracting lanes
+        return jax.lax.dot_general(
+            X, Y, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def mat_bn(C, Y):
+        # (B, a, c) x (B, c, n) -> (B, a, n)
+        return jax.lax.dot_general(
+            C, Y, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
+    for ip in range(n_panels):
+        p = ip * block
+        # --- external orthogonalization against Q[0:p], twice (CGS2) ---
+        for _ in range(2 if p else 0):
+            P = qt_ref[:, p:p + block, :]
+            Qdone = qt_ref[:, 0:p, :]
+            C = dot_bn(P, Qdone)                      # (B, block, p)
+            qt_ref[:, p:p + block, :] = P - mat_bn(C, Qdone)
+            rt_ref[:, p:p + block, 0:p] += C
+        # --- in-panel CGS2, sequential over the block's columns ---
+
+        def col(j, _):
+            P = qt_ref[:, p:p + block, :]             # (B, block, n)
+            y = qt_ref[:, pl.ds(p + j, 1), :]         # (B, 1, n)
+            mask = (row_ids < j).astype(dtype)        # (1, block)
+            onehot_j = (row_ids == j).astype(dtype)
+
+            def widen(c):
+                # place the block's coefficients at lanes [p, p+block);
+                # Mosaic requires dynamic-sublane RMWs to start at lane 0,
+                # so accumulate a full (1, n) row (p is a Python constant)
+                return jnp.pad(c, ((0, 0), (p, n - p - block)))[:, None, :]
+
+            for rep in range(2):
+                c = dot_bn(y, P).reshape(B, block) * mask
+                y = y - mat_bn(c[:, None, :], P)
+                if rep == 0:
+                    rt_ref[:, pl.ds(p + j, 1), :] += widen(c)
+                else:
+                    nrm = jnp.sqrt(jnp.sum(y * y, axis=2))    # (B, 1)
+                    rt_ref[:, pl.ds(p + j, 1), :] += widen(c + nrm * onehot_j)
+                    safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+                    qt_ref[:, pl.ds(p + j, 1), :] = y / safe[:, :, None]
+            return 0
+
+        jax.lax.fori_loop(0, block, col, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
+    """(Q, R) for a flat batch A (B, n, n); n must be a multiple of 32."""
+    B, n, _ = A.shape
+    dtype = A.dtype
+    kern = functools.partial(_cgs2_kernel, n // _BLOCK, _BLOCK)
+    AT = jnp.swapaxes(A, -1, -2)
+    # VMEM: 2 live (WB, n, n) buffers (QT aliases the input; RT) plus panel
+    # temporaries and pipeline double-buffering; WB=8 at n=256 fits the
+    # 16 MB budget, larger batches grid over batch chunks
+    per = 3 * n * n * jnp.dtype(dtype).itemsize
+    WB = max(1, min(B, (10 * 2**20) // per))
+    while B % WB:
+        WB -= 1
+    grid = (B // WB,)
+    spec = pl.BlockSpec((WB, n, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    QT, RT = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((B, n, n), dtype),
+                   jax.ShapeDtypeStruct((B, n, n), dtype)),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(AT)
+    return jnp.swapaxes(QT, -1, -2), jnp.swapaxes(RT, -1, -2)
+
+
+@jax.custom_batching.custom_vmap
+def _cgs2_qr_single(A: jax.Array):
+    """(Q, R) of one (n, n) matrix; vmapping flattens into one batched
+    kernel call (further vmaps keep flattening)."""
+    interpret = jax.default_backend() == "cpu"
+    Q, R = _cgs2_qr_impl(A[None], interpret=interpret)
+    return Q[0], R[0]
+
+
+@jax.custom_batching.custom_vmap
+def _cgs2_qr_flat(A: jax.Array):
+    interpret = jax.default_backend() == "cpu"
+    return _cgs2_qr_impl(A, interpret=interpret)
+
+
+@_cgs2_qr_flat.def_vmap
+def _cgs2_qr_flat_vmap(axis_size, in_batched, A):
+    B2, B = axis_size, A.shape[1]
+    n = A.shape[-1]
+    Q, R = _cgs2_qr_flat(A.reshape(B2 * B, n, n))
+    return (Q.reshape(B2, B, n, n), R.reshape(B2, B, n, n)), (True, True)
+
+
+@_cgs2_qr_single.def_vmap
+def _cgs2_qr_single_vmap(axis_size, in_batched, A):
+    Q, R = _cgs2_qr_flat(A)
+    return (Q, R), (True, True)
+
+
+def cgs2_qr(A: jax.Array):
+    """Batched (Q, R) via the Pallas CGS2 kernel; A (..., n, n) with n a
+    multiple of 32 (DQMC lattices: ns = L1*L2).  Falls back to
+    jnp.linalg.qr for unsupported sizes."""
+    n = A.shape[-1]
+    if n % _BLOCK or A.shape[-2] != n:
+        return jnp.linalg.qr(A)
+    if A.ndim == 2:
+        return _cgs2_qr_single(A)
+    lead = A.shape[:-2]
+    Q, R = _cgs2_qr_flat(A.reshape((-1, n, n)))
+    return Q.reshape(lead + (n, n)), R.reshape(lead + (n, n))

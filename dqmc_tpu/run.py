@@ -214,7 +214,27 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     warned = False
     profile_dir = params.get_str("simulation", "profile_dir", "")
 
-    step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
+    # engine selection: the fused block kernel (engine/fused.py) runs the
+    # whole propagate+update block as one VMEM-resident Pallas program —
+    # fastest and most precise f32 path on TPU.  It consumes the batched
+    # walker axis directly, so it is used only when walkers are unsharded
+    # (the vmap path partitions trivially across the mesh).
+    engine_kind = params.get_str("simulation", "engine", "auto")
+    from dqmc_tpu.engine.fused import supports_fused, sweep_pair_fused
+    sharded = len(states.G.sharding.device_set) > 1
+    if engine_kind == "fused":
+        use_fused = True   # explicit request: let unsupported configs raise
+    elif engine_kind == "auto":
+        use_fused = (supports_fused(model, cfg)
+                     and jax.default_backend() != "cpu"
+                     and dtype == jnp.float32 and not sharded)
+    else:
+        use_fused = False
+    if use_fused:
+        log("Engine: fused block kernel (propagate+update in VMEM)")
+        step = jax.jit(lambda s: sweep_pair_fused(model, cfg, s))
+    else:
+        step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
     uneq_fn = manager.uneq_measure_fn
     # symmetric=true warps the tau-resolved Green's functions too
     # (dqmc.cpp:300-312)

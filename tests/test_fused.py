@@ -1,0 +1,192 @@
+"""Fused propagate+update block kernel vs a pure-JAX oracle.
+
+The oracle composes the engine's own model ops (apply_B_*,
+local_update_core) with the fused sweep's key schedule, so any mismatch is
+the kernel's fault, not the chain's.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu.engine import EngineConfig, init_state
+from dqmc_tpu.engine.fused import (fused_block, supports_fused, sweep_fused,
+                                   sweep_pair_fused)
+from dqmc_tpu.engine.sweep import (draw_slice_randoms, local_update_core,
+                                   sweep)
+from dqmc_tpu.lattice import square_lattice
+from dqmc_tpu.models import AttractiveHubbard
+from dqmc_tpu.models.kinetic import (apply_B_left, apply_B_right,
+                                     apply_invB_left, apply_invB_right)
+
+
+def _setup(W=2, L=4, beta=4.0, nt=12, n_stab=3, dtype=jnp.float64, seed=0):
+    lat = square_lattice(L, L)
+    model = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=beta,
+                                    nt=nt, dtype=dtype)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    keys = jax.random.split(jax.random.PRNGKey(seed), W)
+    states = jax.vmap(lambda k: init_state(model, cfg, k))(keys)
+    return model, cfg, states
+
+
+def _block_oracle(model, order, props, us, G, fields_blk, forward):
+    """Pure-JAX per-walker composition of one block (same stream layout as
+    fused_block)."""
+    W, n_slices, ns = fields_blk.shape
+
+    def one_walker(G, fields_blk, props_w, us_w):
+        Bbar = jnp.eye(ns, dtype=G.dtype)[None]
+        acc = jnp.zeros((), G.dtype)
+        sl = range(n_slices) if forward else range(n_slices - 1, -1, -1)
+        for l in sl:
+            f_l = fields_blk[l]
+            if forward:
+                G = apply_invB_right(model, f_l,
+                                     apply_B_left(model, f_l, G))
+            G, f_l, a, _ = local_update_core(model, G, f_l, order[l],
+                                             props_w[l], us_w[l])
+            fields_blk = fields_blk.at[l].set(f_l)
+            if forward:
+                Bbar = apply_B_left(model, f_l, Bbar)
+            else:
+                G = apply_B_right(model, f_l,
+                                  apply_invB_left(model, f_l, G))
+                Bbar = apply_B_right(model, f_l, Bbar)
+            acc = acc + a
+        return G, fields_blk, Bbar, acc / n_slices
+
+    return jax.vmap(one_walker)(G, fields_blk, props, us)
+
+
+def _streams(model, keys0, n_slices, ns, dtype, W, seed=5):
+    ks = jax.random.split(jax.random.PRNGKey(seed), W * n_slices)
+    ks = ks.reshape(W, n_slices, -1)
+    order = jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[0])(ks[0])
+    props = jax.vmap(jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[1]))(ks)
+    us = jax.vmap(jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[2]))(ks)
+    return order, props, us
+
+
+def test_fused_block_matches_oracle_forward():
+    model, cfg, states = _setup()
+    W, ns = 2, model.n_sites
+    n_slices = cfg.n_stab
+    order, props, us = _streams(model, None, n_slices, ns, model.dtype, W)
+    fields_blk = states.fields[:, :n_slices]
+
+    Gk, fk, bk, ak = fused_block(model, order, props, us, states.G,
+                                 fields_blk, n_slices=n_slices,
+                                 forward=True, interpret=True)
+    Go, fo, bo, ao = _block_oracle(model, order, props, us, states.G,
+                                   fields_blk, True)
+    np.testing.assert_array_equal(np.asarray(fk), np.asarray(fo))
+    # kernel maintains G via its own dual matmul chain (not a transpose of
+    # the oracle's order) => fp-reordering noise, amplified by propagation
+    np.testing.assert_allclose(np.asarray(Gk), np.asarray(Go), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(bk), np.asarray(bo), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(ak), np.asarray(ao), atol=1e-12)
+
+
+def test_fused_block_matches_oracle_backward():
+    model, cfg, states = _setup(seed=1)
+    W, ns = 2, model.n_sites
+    n_slices = cfg.n_stab
+    order, props, us = _streams(model, None, n_slices, ns, model.dtype, W,
+                                seed=9)
+    fields_blk = states.fields[:, -n_slices:]
+
+    Gk, fk, bk, ak = fused_block(model, order, props, us, states.G,
+                                 fields_blk, n_slices=n_slices,
+                                 forward=False, interpret=True)
+    Go, fo, bo, ao = _block_oracle(model, order, props, us, states.G,
+                                   fields_blk, False)
+    np.testing.assert_array_equal(np.asarray(fk), np.asarray(fo))
+    # naive B^-1 G B propagation amplifies fp-reordering noise by ~cond(B)^2
+    # per slice (measured: 7e-13 after 1 slice, x~250 per further slice);
+    # the drift is identical in kind to the engine's own naive propagation
+    # and is reset by stabilization — the meaningful invariants here are the
+    # integer decisions (exact) and the block product (exact association)
+    np.testing.assert_allclose(np.asarray(Gk), np.asarray(Go), atol=3e-7)
+    np.testing.assert_allclose(np.asarray(bk), np.asarray(bo), atol=1e-10)
+
+
+def _sweep_fused_oracle(model, cfg, states, forward):
+    """Reimplementation of sweep_fused's chain with engine ops (no pallas):
+    same key schedule, shared per-slice orders, per-walker streams,
+    identical stabilization."""
+    from dqmc_tpu.engine.fused import _stabilize_one
+
+    W = states.G.shape[0]
+    ns, dtype = model.n_sites, model.dtype
+    n_stab, n_stack = cfg.n_stab, cfg.n_stack
+    keys = jax.vmap(lambda k: jax.random.split(k, cfg.nt + 1))(states.key)
+    new_key = keys[:, cfg.nt]
+    slice_keys = keys[:, :cfg.nt]
+    orders = jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[0])(slice_keys[0])
+    props = jax.vmap(jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[1]))(slice_keys)
+    us = jax.vmap(jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype)[2]))(slice_keys)
+
+    fields, G, stack = states.fields, states.G, states.stack
+    log_det, acc = states.log_det_M, states.acc_sum
+    blocks = range(n_stack) if forward else range(n_stack - 1, -1, -1)
+    for i_stack in blocks:
+        l0 = i_stack * n_stab
+        fb = fields[:, l0:l0 + n_stab]
+        G, fb, bbar, acc_b = _block_oracle(
+            model, orders[l0:l0 + n_stab],
+            props[:, l0:l0 + n_stab], us[:, l0:l0 + n_stab], G, fb, forward)
+        fields = fields.at[:, l0:l0 + n_stab].set(fb)
+        G, stack, log_det, err = jax.vmap(
+            lambda g, s, b: _stabilize_one(g, s, b, i_stack, forward))(
+                G, stack, bbar)
+        acc = acc + acc_b * (n_stab / cfg.nt)
+    return dataclasses.replace(states, fields=fields, G=G, stack=stack,
+                               log_det_M=log_det, key=new_key, acc_sum=acc)
+
+
+def test_sweep_fused_matches_oracle():
+    model, cfg, states = _setup(seed=2)
+    got = sweep_fused(model, cfg, states, forward=True, interpret=True)
+    want = _sweep_fused_oracle(model, cfg, states, True)
+    np.testing.assert_array_equal(np.asarray(got.fields),
+                                  np.asarray(want.fields))
+    np.testing.assert_allclose(np.asarray(got.G), np.asarray(want.G),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.log_det_M),
+                               np.asarray(want.log_det_M), rtol=1e-12)
+
+    got_b = sweep_fused(model, cfg, got, forward=False, interpret=True)
+    want_b = _sweep_fused_oracle(model, cfg, want, False)
+    np.testing.assert_array_equal(np.asarray(got_b.fields),
+                                  np.asarray(want_b.fields))
+    np.testing.assert_allclose(np.asarray(got_b.G), np.asarray(want_b.G),
+                               atol=1e-11)
+
+
+def test_sweep_pair_fused_stays_stable():
+    """Several fused sweep-pairs keep the self-check error at f64 noise and
+    a sane acceptance rate."""
+    model, cfg, states = _setup(W=2, L=4, beta=4.0, nt=20, n_stab=5, seed=3)
+    for _ in range(3):
+        states = sweep_pair_fused(model, cfg, states, interpret=True)
+    assert np.isfinite(np.asarray(states.G)).all()
+    # naive-propagation drift at dtau=0.2, n_stab=5 sits at ~1e-6 on the
+    # unfused rank-1 path; the fused kernel measures ~4e-8 here
+    assert float(jnp.max(states.err_max)) < 1e-6
+    acc = float(jnp.mean(states.acc_sum)) / 6.0
+    assert 0.2 < acc < 0.9
+
+
+def test_supports_fused_gating():
+    model, cfg, _ = _setup()
+    assert supports_fused(model, cfg)
+    assert not supports_fused(model, EngineConfig(nt=13, n_stab=5))
