@@ -156,12 +156,26 @@ def _cgs2_qr_single_vmap(axis_size, in_batched, A):
 
 
 def cgs2_qr(A: jax.Array):
-    """Batched (Q, R) via the Pallas CGS2 kernel; A (..., n, n) with n a
-    multiple of 32 (DQMC lattices: ns = L1*L2).  Falls back to
-    jnp.linalg.qr for unsupported sizes."""
+    """Batched (Q, R) via the Pallas CGS2 kernel for any square size.
+
+    Sizes that are not a multiple of the 32-column panel are handled by
+    EXACT block-diagonal identity padding: qr([[A,0],[0,I]]) =
+    ([[Qa,0],[0,I]], [[Ra,0],[0,I]]), so the unpadded factors are read
+    straight off the padded ones (the identity rows orthogonalize to
+    themselves untouched — CGS projections against them are exactly zero
+    for the zero off-blocks)."""
     n = A.shape[-1]
-    if n % _BLOCK or A.shape[-2] != n:
+    if A.shape[-2] != n:
         return jnp.linalg.qr(A)
+    pad = (-n) % _BLOCK
+    if pad:
+        np_ = n + pad
+        eye_blk = jnp.eye(pad, dtype=A.dtype)
+        Ap = jnp.zeros(A.shape[:-2] + (np_, np_), A.dtype)
+        Ap = Ap.at[..., :n, :n].set(A)
+        Ap = Ap.at[..., n:, n:].set(eye_blk)
+        Q, R = cgs2_qr(Ap)
+        return Q[..., :n, :n], R[..., :n, :n]
     if A.ndim == 2:
         return _cgs2_qr_single(A)
     lead = A.shape[:-2]

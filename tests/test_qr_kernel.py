@@ -57,10 +57,17 @@ def test_cgs2_vmap_flattens(rng):
                                np.asarray(Q1), atol=1e-6)
 
 
-def test_cgs2_unsupported_sizes_fall_back(rng):
-    A = jnp.asarray(rng.standard_normal((3, 20, 20)).astype(np.float32))
-    Q, R = cgs2_qr(A)  # 20 % 32 != 0 -> jnp.linalg.qr
-    np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(A), atol=1e-5)
+def test_cgs2_unaligned_sizes_pad_exactly(rng):
+    """Sizes not divisible by the panel width run through exact identity
+    padding (e.g. ns = 144 for a 12x12 lattice)."""
+    for n in (20, 144):
+        A = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32))
+        Q, R = cgs2_qr(A)
+        Qn, Rn = np.asarray(Q, np.float64), np.asarray(R, np.float64)
+        np.testing.assert_allclose(Qn @ Rn, np.asarray(A, np.float64),
+                                   atol=2e-5)
+        assert np.abs(Qn.swapaxes(-1, -2) @ Qn - np.eye(n)).max() < 2e-4
+        assert np.abs(np.tril(Rn, -1)).max() == 0.0
 
 
 def test_cgs2_chain_accuracy_matches_householder():
