@@ -220,18 +220,24 @@ def _fused_block_kernel(n_slices, k_delay, forward,
     acc_ref[...] = acc_ref[...] / (ns * n_slices)
 
 
-def _pick_block(W: int, ns: int, k: int, itemsize: int,
-                budget: int = 10 * 2**20) -> int:
+_VMEM_LIMIT = 100 * 2**20   # v5e has 128 MB VMEM; the 16 MB default scoped
+                            # cap starves these kernels (measured)
+
+
+def _pick_block(W: int, ns: int, k: int, itemsize: int, n_slices: int = 8,
+                budget: int = 80 * 2**20) -> int:
     """Walker-block size for the fused kernel.
 
-    VMEM per walker: G + GT + BbarT (+ the aliased input and the un-aliased
-    fields/Bbar outputs are small or shared).  Unlike the site-update-only
-    kernel, do NOT halve for multi-block runs: the slice loop is unrolled
-    in-kernel, so the pipeline's double-buffering overhead is amortized over
-    n_stab slices, and a too-small WB starves the MXU (batch-1 matmuls) —
-    measured 32 -> 46 sweeps/s going from WB=1 to WB=8 on the headline run.
+    Empirical VMEM model (validated against Mosaic's scoped-allocation
+    accounting): ~7 (ns, ns_pad)-sized live buffers per walker — G, GT,
+    Bbar out x2 (pipeline double-buffer), G in x2, matmul temporaries —
+    plus U/V scratch and streams; lanes pad to 128.  A too-small WB
+    starves the MXU (batch-1 matmuls): measured 32 -> 46 sweeps/s going
+    from WB=1 to WB=8 on the headline run.
     """
-    per_walker = (3 * ns * ns + 2 * k * ns) * itemsize
+    ns_pad = -(-ns // 128) * 128
+    per_walker = (7 * ns * ns_pad + 3 * k * ns_pad
+                  + 6 * n_slices * ns_pad) * itemsize
     wb = max(1, min(W, budget // max(per_walker, 1)))
     while W % wb:
         wb -= 1
@@ -274,7 +280,8 @@ def fused_block(model, order, props, us, G, fields_blk, *,
     us_t = us.reshape(W, n_slices * ns).T
     fields_flat = fields_blk.astype(jnp.int32).reshape(W, n_slices * ns)
 
-    WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize)
+    WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize,
+                     n_slices=n_slices)
     kern = functools.partial(_fused_block_kernel, n_slices, k_delay, forward)
 
     def call_block(ga_b, props_b, us_b, fields_b, G_b):
@@ -297,6 +304,8 @@ def fused_block(model, order, props, us, G, fields_blk, *,
                 pltpu.VMEM((WB, k_delay, ns), dtype),   # V
             ],
             input_output_aliases={10: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )(scal, ga_b, order.astype(jnp.int32), props_b, us_b,
           *mats, fields_b, G_b)

@@ -208,18 +208,15 @@ def _batched_update_kernel(k_delay, scal_ref, ga_ref, order_ref, props_ref,
 
 
 def _pick_block(W: int, ns: int, k: int, itemsize: int = 4,
-                budget: int = 10 * 2**20) -> int:
-    per_walker = (2 * ns * ns + 2 * k * ns) * itemsize
+                budget: int = 80 * 2**20) -> int:
+    # ~6 (ns, ns_pad)-sized live buffers per walker (G, GT, U/V, pipeline
+    # double-buffers); lanes pad to 128; v5e VMEM is 128 MB with the
+    # scoped cap raised (see pallas_call compiler_params)
+    ns_pad = -(-ns // 128) * 128
+    per_walker = (6 * ns * ns_pad + 3 * k * ns_pad) * itemsize
     wb = max(1, min(W, budget // max(per_walker, 1)))
     while W % wb:
         wb -= 1
-    if wb < W:
-        # multi-block runs go through a vmap-added grid whose pipeline
-        # double-buffers the G input/output blocks; halve the block so
-        # 2x(G_in + G_out) + GT + U/V stays under the VMEM limit
-        wb = max(1, wb // 2)
-        while W % wb:
-            wb -= 1
     return wb
 
 
@@ -293,6 +290,8 @@ def _metropolis_batched_impl(g_vec: jax.Array, alpha_vec: jax.Array,
                 pltpu.VMEM((WB, k_delay, ns), dtype),  # V
             ],
             input_output_aliases={6: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
             interpret=interpret,
         )(scal, ga_b, order.astype(jnp.int32).reshape(1, ns), props_b, us_b,
           fields_b, G_b)

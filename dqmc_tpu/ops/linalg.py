@@ -229,6 +229,16 @@ def _split_scales(d: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.maximum(d, one), jnp.minimum(d, one)
 
 
+# ----------------------------------------------------------------------
+# Reference-orientation stabilized inverses — TEST ORACLES, not engine code
+# ----------------------------------------------------------------------
+# These mirror the reference's row-graded formulas one-to-one
+# (stablelinalg.cpp:94-190) and exist to (a) document the translation and
+# (b) cross-check the production "dag" forms below in tests/test_linalg.py.
+# The engine exclusively uses the transpose-suffix forms (inv_*_dag),
+# whose inputs stay column-graded and f32-safe.
+
+
 def inv_one_plus_ldr(F: LDR) -> Tuple[jax.Array, jax.Array]:
     """G = [I + F]^-1 and log|det(I + F)| (stablelinalg.cpp:94-126).
 

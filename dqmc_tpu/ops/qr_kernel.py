@@ -103,11 +103,12 @@ def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
     dtype = A.dtype
     kern = functools.partial(_cgs2_kernel, n // _BLOCK, _BLOCK)
     AT = jnp.swapaxes(A, -1, -2)
-    # VMEM: 2 live (WB, n, n) buffers (QT aliases the input; RT) plus panel
-    # temporaries and pipeline double-buffering; WB=8 at n=256 fits the
-    # 16 MB budget, larger batches grid over batch chunks
-    per = 3 * n * n * jnp.dtype(dtype).itemsize
-    WB = max(1, min(B, (10 * 2**20) // per))
+    # VMEM: ~4 (n, n_pad)-sized buffers per matrix (QT aliasing the input,
+    # RT, their pipeline double-buffers) plus panel temporaries; v5e VMEM
+    # is 128 MB once the default 16 MB scoped cap is raised
+    n_pad = -(-n // 128) * 128
+    per = 5 * n * n_pad * jnp.dtype(dtype).itemsize
+    WB = max(1, min(B, (80 * 2**20) // per))
     while B % WB:
         WB -= 1
     grid = (B // WB,)
@@ -121,6 +122,8 @@ def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
         in_specs=[spec],
         out_specs=(spec, spec),
         input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(AT)
     return jnp.swapaxes(QT, -1, -2), jnp.swapaxes(RT, -1, -2)

@@ -154,9 +154,10 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     from dqmc_tpu.measure import MeasurementManager
     from dqmc_tpu.models import AttractiveHubbard
     from dqmc_tpu.parallel.walkers import stack_models
-    from dqmc_tpu.run import RunSummary, _resolve_dtype, make_engine_config
+    from dqmc_tpu.run import (RunSummary, _rank0_log, _resolve_dtype,
+                              global_stats, make_engine_config)
 
-    log = print if verbose else (lambda *a, **k: None)
+    log = _rank0_log(verbose)
     dtype = _resolve_dtype(params)
 
     # f32 chains get f64 exchange actions by default (the f32 log-det bias
@@ -264,7 +265,7 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     log(f"Thermalization done in {dt_therm:.2f} seconds")
 
     # report the random-field transient once, then track steady-state error
-    therm_err_max = float(jnp.max(states.err_max))
+    therm_err_max = global_stats(states)["err_max"]
     if n_therms and not therm_done:
         log(f"Thermalization transient precision error = {therm_err_max:.4e}")
     states = jax.jit(jax.vmap(reset_error_stats))(states)
@@ -296,10 +297,10 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     manager.close()
 
     n_pairs = n_therms + total
-    acc_rate = float(jnp.mean(states.acc_sum)) / (2.0 * n_pairs)
-    err_max = max(float(jnp.max(states.err_max)), err_uneq_max)
-    err_mean = float(jnp.sum(states.err_sum)
-                     / jnp.maximum(jnp.sum(states.err_count), 1))
+    stats = global_stats(states)
+    acc_rate = stats["acc_sum_mean"] / (2.0 * n_pairs)
+    err_max = max(stats["err_max"], err_uneq_max)
+    err_mean = stats["err_sum"] / max(stats["err_count"], 1)
     exchange_rate = accepted / attempt if attempt else 0.0
     sweeps_per_sec = total * R / dt_meas if dt_meas > 0 else float("inf")
     log(f"Average acceptance rate = {acc_rate:.4f}")

@@ -133,12 +133,39 @@ def _shard_over_devices(states, n_walkers: int, n_devices: int, log):
     return states, offset
 
 
+def _rank0_log(verbose: bool):
+    """Rank-0-only logging, the utility::io::print_info analogue
+    (utility.h:278-288): in multi-host runs only process 0 narrates."""
+    if not verbose:
+        return lambda *a, **k: None
+
+    def log(*a, **k):
+        if jax.process_index() == 0:
+            print(*a, **k)
+    return log
+
+
+def global_stats(states) -> dict:
+    """Cross-process aggregate run statistics (the MPI_Reduce analogue,
+    main.cpp:186-187): jitted reductions over the (possibly multi-host
+    sharded) walker axis with fully-replicated outputs, so every process
+    can read them."""
+    @jax.jit
+    def reduce(s):
+        return dict(
+            acc_sum_mean=jnp.mean(s.acc_sum),
+            err_max=jnp.max(s.err_max),
+            err_sum=jnp.sum(s.err_sum),
+            err_count=jnp.sum(s.err_count),
+        )
+    return {k: float(v) for k, v in reduce(states).items()}
+
+
 def run_simulation(params: Parameters, *, out_dir: str = "results",
                    verbose: bool = True) -> RunSummary:
-    log = print if verbose else (lambda *a, **k: None)
-
     # multi-host runtime must form before any backend query
     _maybe_init_distributed(params)
+    log = _rank0_log(verbose)
 
     # On TPU, f32 matmuls default to bfloat16 passes — fatal for DQMC
     # stabilization.  Full-precision accumulation is the only sane default;
@@ -184,13 +211,17 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     ckpt_path = params.get_str("simulation", "checkpoint_path",
                                os.path.join(out_dir, "checkpoint.npz"))
     start_bin = 0
+    start_therm = 0
     therm_done = False
     if ckpt_every > 0 and os.path.exists(ckpt_path):
         from dqmc_tpu.io.checkpoint import load_checkpoint
         states, meta = load_checkpoint(ckpt_path, states)
         start_bin = int(meta["bin"])
         therm_done = bool(meta.get("therm_done", True))
-        log(f"Resumed from {ckpt_path} at bin {start_bin}")
+        start_therm = int(meta.get("therm_sweep", 0))
+        log(f"Resumed from {ckpt_path} at bin {start_bin}"
+            + (f" (thermalization sweep {start_therm})"
+               if not therm_done else ""))
 
     # multi-chip: shard the walker axis (zero-communication data parallelism)
     n_devices = params.get_int("walkers", "n_devices", 0)
@@ -243,20 +274,27 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
                                      warp=symmetric)))
     warp = jax.jit(jax.vmap(lambda G: half_warp(model, G)))
 
-    def checkpoint(therm_flag: bool):
+    def checkpoint(therm_flag: bool, therm_sweep: int = 0):
         if ckpt_every <= 0:
             return
         from dqmc_tpu.io.checkpoint import save_checkpoint
         jax.block_until_ready(states.G)
         save_checkpoint(ckpt_path, states,
                         {"bin": manager.current_bin, "therm_done": therm_flag,
+                         "therm_sweep": therm_sweep,
                          "seed": seed, "n_walkers": n_walkers})
 
-    # thermalization (main.cpp:129-137)
+    # thermalization (main.cpp:129-137); checkpointed mid-phase every
+    # ckpt_every * n_sweeps sweep-pairs so a preempted long thermalization
+    # resumes where it stopped instead of from zero
     t0 = time.perf_counter()
     if not therm_done:
-        for _ in range(n_therms):
+        ckpt_stride = ckpt_every * max(n_sweeps, 1)
+        for it in range(start_therm, n_therms):
             states = step(states)
+            if ckpt_every > 0 and (it + 1) % ckpt_stride == 0 \
+                    and (it + 1) < n_therms:
+                checkpoint(False, therm_sweep=it + 1)
         jax.block_until_ready(states.G)
         checkpoint(True)
     dt_therm = time.perf_counter() - t0
@@ -264,7 +302,7 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
 
     # split precision stats: the random-field transient is reported once,
     # then reset so the summary's max/mean reflect the measured phase
-    therm_err_max = float(jnp.max(states.err_max))
+    therm_err_max = global_stats(states)["err_max"]
     if n_therms and not therm_done:
         log(f"Thermalization transient precision error = {therm_err_max:.4e}")
     states = jax.jit(jax.vmap(reset_error_stats))(states)
@@ -310,11 +348,14 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     manager.close()
 
     # summary (main.cpp:180-208); a sweep here = the reference's
-    # forward+backward pair, so acc normalization uses 2 sweeps per pair
+    # forward+backward pair, so acc normalization uses 2 sweeps per pair.
+    # Stats aggregate over all walkers of all processes (the MPI_Reduce
+    # of main.cpp:186-187).
     n_pairs = n_therms + total
-    acc = float(jnp.mean(states.acc_sum)) / (2.0 * n_pairs)
-    err_max = max(float(jnp.max(states.err_max)), err_uneq_max)
-    err_mean = float(jnp.sum(states.err_sum) / jnp.maximum(jnp.sum(states.err_count), 1))
+    stats = global_stats(states)
+    acc = stats["acc_sum_mean"] / (2.0 * n_pairs)
+    err_max = max(stats["err_max"], err_uneq_max)
+    err_mean = stats["err_sum"] / max(stats["err_count"], 1)
     sweeps_per_sec = total * n_walkers / dt_meas if dt_meas > 0 else float("inf")
     h, rem = divmod(int(dt_meas), 3600)
     m, s = divmod(rem, 60)
