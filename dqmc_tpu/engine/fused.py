@@ -60,48 +60,52 @@ from dqmc_tpu.engine.sweep import (
 
 
 def _fused_block_kernel(n_slices, k_delay, forward,
-                        scal_ref, ga_ref, order_ref, props_ref, us_ref,
+                        order_ref, gb_ref, delta_ref, us_ref,
+                        ev_old_ref, ev_new_ref,
                         expK_ref, expKT_ref, invexpKT_ref, expK2_ref,
-                        fields_in_ref, g_in_ref,
-                        g_ref, fields_ref, bbar_ref, acc_ref,
+                        g_in_ref,
+                        g_ref, mask_ref, bbar_ref, acc_ref,
                         gt_ref, ut_ref, v_ref):
     """One stabilization block for a walker block WB.
 
-    SMEM: scal (1, 8) = [eta0..3, gamma0..3]; order (n_slices, ns) i32.
-    VMEM in: ga (WB, 2) per-walker [g, alpha];
-             props (n_slices*ns, WB) i32, us (n_slices*ns, WB) f32;
+    The field-dependent Metropolis factors are PRECOMPUTED outside: every
+    site is visited exactly once per slice, so its pre-update field value —
+    and hence d_eta, the gamma/boson ratio product gb, the B-matrix delta,
+    and both expV candidates — are known before the kernel runs.  Only the
+    G-dependent half of the decision lives in the loop; the kernel emits
+    the accept MASK and the caller reconstructs the new fields.
+
+    SMEM: order (n_slices, ns) i32 — shared per-slice visit orders.
+    VMEM in: gb / delta (n_slices*ns, WB) f32 SITE-major
+             (gb = gammaR * bosonR; proposals are drawn per SITE so no
+             permutation is ever needed — the kernel reads row base+i,
+             a sublane-dynamic access exactly as cheap as base+idx);
+             us (n_slices*ns, WB) f32 visit-index-major;
+             ev_old / ev_new (WB, n_slices*ns) f32, SITE-major: exp(g eta)
+             of the pre-slice field and of the proposal;
              expK / expKT / invexpKT / expK2 (ns, ns): for forward these
-             are (expK, expK^T used twice, invexpK^T, unused=expK);
+             are (expK, expK^T used twice, invexpK^T, invexpK);
              for backward (expK, expK^T, invexpK^T, expK) — see wrap();
-             fields_in (WB, n_slices*ns) i32; g_in (WB, ns, ns).
-    VMEM out: g (aliased with g_in), fields (WB, n_slices*ns),
-              bbar (WB, ns, ns) — the block product accumulated IN
-              TRANSPOSE for forward (the caller transposes; keeping the
-              accumulator in the output ref saves 2 MB of VMEM, which is
-              the difference between WB=8 fitting and OOM), NORMAL form
-              for backward; acc (1, WB).
+             g_in (WB, ns, ns).
+    VMEM out: g (aliased with g_in); mask (WB, n_slices*ns) f32 accept
+              mask (site-major); bbar (WB, ns, ns) — the block product
+              accumulated IN TRANSPOSE for forward (the caller transposes;
+              keeping the accumulator in the output ref saves VMEM),
+              NORMAL form for backward; acc (1, WB).
     scratch: gt (WB, ns, ns); ut, v (WB, k_delay, ns).
     """
     WB, ns = g_ref.shape[0], g_ref.shape[-1]
     dtype = g_ref.dtype
     g_ref[...] = g_in_ref[...]
     gt_ref[...] = jnp.swapaxes(g_in_ref[...], -1, -2)
-    fields_ref[...] = fields_in_ref[...]
+    mask_ref[...] = jnp.zeros_like(mask_ref)
     eyeT = jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 0) == \
         jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 1)
     bbar_ref[...] = jnp.broadcast_to(
         jnp.where(eyeT, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype)),
         (WB, ns, ns))
 
-    g_hs = ga_ref[:, 0:1]                                 # (WB, 1)
-    alpha = ga_ref[:, 1:2]
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
-
-    def lut(base, s):
-        out = jnp.zeros(s.shape, dtype)
-        for v4 in range(4):
-            out = jnp.where(s == v4, scal_ref[0, base + v4], out)
-        return out
 
     def right(X, M_ref):
         # X (WB, ns, ns) @ M (ns, ns) on the MXU, normal layout
@@ -119,9 +123,14 @@ def _fused_block_kernel(n_slices, k_delay, forward,
             preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST)
 
-    def expv(l):
-        f = fields_ref[:, l * ns:(l + 1) * ns]            # (WB, ns) static
-        return jnp.exp(g_hs * lut(0, f))                  # (WB, ns)
+    def expv_pre(l):
+        return ev_old_ref[:, l * ns:(l + 1) * ns]         # (WB, ns) static
+
+    def expv_post(l):
+        b = l * ns
+        m = mask_ref[:, b:b + ns]
+        return jnp.where(m > 0.5, ev_new_ref[:, b:b + ns],
+                         ev_old_ref[:, b:b + ns])
 
     # Similarity wraps maintain G and G^T as two INDEPENDENT matmul chains
     # (4 MXU matmuls/slice, zero transposes — Mosaic transposes of
@@ -154,16 +163,9 @@ def _fused_block_kernel(n_slices, k_delay, forward,
             i = order_ref[l, idx]
             onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
                                jnp.asarray(0.0, dtype))
-            fields = fields_ref[:, base:base + ns]        # (WB, ns)
-            old = jnp.sum(fields * (lane_ids == i), axis=1, keepdims=True)
-            r = props_ref[pl.ds(base + idx, 1), :].reshape(WB, 1)
-            new = r + (r >= old).astype(r.dtype)
+            gb = gb_ref[pl.ds(base + i, 1), :].reshape(WB, 1)
+            delta = delta_ref[pl.ds(base + i, 1), :].reshape(WB, 1)
             u = us_ref[pl.ds(base + idx, 1), :].reshape(WB, 1)
-
-            d_eta = lut(0, new) - lut(0, old)
-            gammaR = lut(4, new) / lut(4, old)
-            bosonR = jnp.exp(alpha * g_hs * d_eta)
-            delta = jnp.exp(g_hs * d_eta) - 1.0
 
             row_g = g_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
             col_g = gt_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
@@ -176,14 +178,14 @@ def _fused_block_kernel(n_slices, k_delay, forward,
             G_ii = jnp.sum(row_eff * onehot, axis=1, keepdims=True)
 
             r_flv = 1.0 + (1.0 - G_ii) * delta
-            R = gammaR * bosonR * r_flv * r_flv
+            R = gb * r_flv * r_flv
             accept = u < jnp.minimum(jnp.asarray(1.0, dtype), jnp.abs(R))
             prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
+            accf = accept.astype(dtype)
 
             ut_ref[:, pl.ds(slot, 1), :] = (prefac * col_eff)[:, None, :]
             v_ref[:, pl.ds(slot, 1), :] = (row_eff - onehot)[:, None, :]
-            fields_ref[:, base:base + ns] = jnp.where(
-                (lane_ids == i) & accept, new.astype(fields.dtype), fields)
+            mask_ref[:, base:base + ns] += accf * onehot
 
             @pl.when(slot == k_delay - 1)
             def _flush():
@@ -195,7 +197,7 @@ def _fused_block_kernel(n_slices, k_delay, forward,
                 ut_ref[...] = jnp.zeros_like(ut_ref)
                 v_ref[...] = jnp.zeros_like(v_ref)
 
-            return acc + accept.astype(dtype).reshape(1, WB)
+            return acc + accf.reshape(1, WB)
 
         acc_ref[...] += jax.lax.fori_loop(0, ns, body,
                                           jnp.zeros((1, WB), dtype))
@@ -204,15 +206,15 @@ def _fused_block_kernel(n_slices, k_delay, forward,
     for step in range(n_slices):
         if forward:
             l = step
-            wrap_forward(expv(l))                         # pre-update fields
+            wrap_forward(expv_pre(l))                     # pre-update fields
             site_loop(l)
             # BbarT' = BbarT expK^T diag(expV_post)
             bbar_ref[...] = right(bbar_ref[...], expKT_ref) \
-                * expv(l)[:, None, :]
+                * expv_post(l)[:, None, :]
         else:
             l = n_slices - 1 - step
             site_loop(l)
-            ev = expv(l)                                  # post-update fields
+            ev = expv_post(l)                             # post-update fields
             wrap_backward(ev)
             # Bbar' = Bbar diag(ev) expK (normal form)
             bbar_ref[...] = right(bbar_ref[...] * ev[:, None, :], expK_ref)
@@ -252,51 +254,80 @@ def fused_block(model, order, props, us, G, fields_blk, *,
                 interpret: bool = False):
     """Run one stabilization block for a walker batch.
 
-    order: (n_slices, ns) i32 shared visit orders; props/us:
-    (W, n_slices, ns) per-walker streams; G: (W, 1, ns, ns);
-    fields_blk: (W, n_slices, ns) the block's field slices (time-major per
-    walker).  Returns (G', fields_blk', Bbar (W, 1, ns, ns), acc (W,)) with
-    Bbar the block's propagator product in application order.
+    order: (n_slices, ns) i32 shared visit orders; props (W, n_slices, ns)
+    proposal draws indexed by SITE (state-independent, so per-site and
+    per-visit indexing give equally valid chains — per-site needs no
+    permutation anywhere); us (W, n_slices, ns) uniforms indexed by visit;
+    G: (W, 1, ns, ns); fields_blk: (W, n_slices, ns) the block's field
+    slices (time-major per walker).  Returns (G', fields_blk',
+    Bbar (W, 1, ns, ns), acc (W,)) with Bbar the block's propagator
+    product in application order.
     """
     W, nfl, ns, _ = G.shape
     assert nfl == 1
     dtype = G.dtype
     if ns % k_delay:
         k_delay = next(k for k in (16, 8, 4, 2, 1) if ns % k == 0)
+    L = n_slices * ns
 
-    scal = jnp.concatenate([
-        jnp.asarray(hsfield.ETA, dtype),
-        jnp.asarray(hsfield.GAMMA, dtype),
-    ]).reshape(1, 8)
-    ga = jnp.stack([jnp.broadcast_to(model.g, (W,)).astype(dtype),
-                    jnp.broadcast_to(model.alpha, (W,)).astype(dtype)],
-                   axis=1)
+    # ------------------------------------------------------------------
+    # host-graph precomputation of every field-dependent factor: each site
+    # is visited exactly once per slice, so its pre-update value is the
+    # slice-start value and the whole Metropolis arithmetic except the
+    # G-dependent determinant ratio vectorizes outside the kernel.  All
+    # SITE-major (props are site-indexed, so no permutation exists), and
+    # every 4-entry table lookup is a where-select chain: XLA:TPU gathers
+    # are element-at-a-time and were measured at ~80 ms/pair here.
+    # ------------------------------------------------------------------
+    g_hs = model.g.astype(dtype)
+    alpha = model.alpha.astype(dtype)
+    fields_blk = fields_blk.astype(jnp.int32)
+    order_i = order.astype(jnp.int32)                    # (n_slices, ns)
+
+    def tab4(tbl, idx):
+        out = jnp.zeros(idx.shape, dtype)
+        for v in range(4):
+            out = jnp.where(idx == v, jnp.asarray(float(tbl[v]), dtype), out)
+        return out
+
+    old = fields_blk                                     # site-major
+    props_i = props.astype(jnp.int32)
+    new_site = props_i + (props_i >= old)
+    eta_old = tab4(hsfield.ETA, old)
+    eta_new = tab4(hsfield.ETA, new_site)
+    d_eta = eta_new - eta_old
+    gb = (tab4(hsfield.GAMMA, new_site) / tab4(hsfield.GAMMA, old)) \
+        * jnp.exp(alpha * g_hs * d_eta)
+    delta = jnp.expm1(g_hs * d_eta)                      # (W, n_slices, ns)
+    ev_old = jnp.exp(g_hs * eta_old).reshape(W, L)
+    ev_new = jnp.exp(g_hs * eta_new).reshape(W, L)
+
     expK = model.expK.astype(dtype)
     invexpK = model.invexpK.astype(dtype)
     mats = (expK, expK.T, invexpK.T, invexpK if forward else expK)
 
-    # site-major streams: row l*ns+idx = site visit idx of slice l
-    props_t = props.astype(jnp.int32).reshape(W, n_slices * ns).T
-    us_t = us.reshape(W, n_slices * ns).T
-    fields_flat = fields_blk.astype(jnp.int32).reshape(W, n_slices * ns)
+    # visit-index-major streams: row l*ns+idx = visit idx of slice l
+    gb_t = gb.reshape(W, L).T
+    delta_t = delta.reshape(W, L).T
+    us_t = us.reshape(W, L).T
 
     WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize,
                      n_slices=n_slices)
     kern = functools.partial(_fused_block_kernel, n_slices, k_delay, forward)
 
-    def call_block(ga_b, props_b, us_b, fields_b, G_b):
+    def call_block(gb_b, delta_b, us_b, evo_b, evn_b, G_b):
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kern,
             out_shape=(
                 jax.ShapeDtypeStruct((WB, ns, ns), dtype),
-                jax.ShapeDtypeStruct((WB, n_slices * ns), jnp.int32),
+                jax.ShapeDtypeStruct((WB, L), dtype),
                 jax.ShapeDtypeStruct((WB, ns, ns), dtype),
                 jax.ShapeDtypeStruct((1, WB), dtype),
             ),
-            in_specs=[smem(), vmem(), smem(), vmem(), vmem(),
-                      vmem(), vmem(), vmem(), vmem(), vmem(), vmem()],
+            in_specs=[smem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+                      vmem(), vmem(), vmem(), vmem(), vmem()],
             out_specs=(vmem(), vmem(), vmem(), vmem()),
             scratch_shapes=[
                 pltpu.VMEM((WB, ns, ns), dtype),        # GT
@@ -307,27 +338,27 @@ def fused_block(model, order, props, us, G, fields_blk, *,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(scal, ga_b, order.astype(jnp.int32), props_b, us_b,
-          *mats, fields_b, G_b)
+        )(order_i, gb_b, delta_b, us_b, evo_b, evn_b, *mats, G_b)
 
     n_blocks = W // WB
     if n_blocks == 1:
-        G_new, fields_new, bbar, acc = call_block(
-            ga, props_t, us_t, fields_flat, G.reshape(W, ns, ns))
+        G_new, mask, bbar, acc = call_block(
+            gb_t, delta_t, us_t, ev_old, ev_new, G.reshape(W, ns, ns))
     else:
-        G_new, fields_new, bbar, acc = jax.vmap(call_block)(
-            ga.reshape(n_blocks, WB, 2),
-            props_t.T.reshape(n_blocks, WB, n_slices * ns).transpose(0, 2, 1),
-            us_t.T.reshape(n_blocks, WB, n_slices * ns).transpose(0, 2, 1),
-            fields_flat.reshape(n_blocks, WB, n_slices * ns),
+        tv = lambda x: x.T.reshape(n_blocks, WB, L).transpose(0, 2, 1)
+        G_new, mask, bbar, acc = jax.vmap(call_block)(
+            tv(gb_t), tv(delta_t), tv(us_t),
+            ev_old.reshape(n_blocks, WB, L),
+            ev_new.reshape(n_blocks, WB, L),
             G.reshape(n_blocks, WB, ns, ns))
 
+    accepted = mask.reshape(W, n_slices, ns) > 0.5
+    fields_new = jnp.where(accepted, new_site, fields_blk)
     bbar = bbar.reshape(W, 1, ns, ns)
     if forward:
         # the kernel accumulates the forward block product transposed
         bbar = jnp.swapaxes(bbar, -1, -2)
-    return (G_new.reshape(W, 1, ns, ns),
-            fields_new.reshape(W, n_slices, ns),
+    return (G_new.reshape(W, 1, ns, ns), fields_new,
             bbar, acc.reshape(W))
 
 

@@ -46,8 +46,10 @@ def _block_oracle(model, order, props, us, G, fields_blk, forward):
             if forward:
                 G = apply_invB_right(model, f_l,
                                      apply_B_left(model, f_l, G))
+            # the fused path indexes proposals by SITE; local_update_core
+            # consumes them per VISIT — translate through the order
             G, f_l, a, _ = local_update_core(model, G, f_l, order[l],
-                                             props_w[l], us_w[l])
+                                             props_w[l][order[l]], us_w[l])
             fields_blk = fields_blk.at[l].set(f_l)
             if forward:
                 Bbar = apply_B_left(model, f_l, Bbar)
