@@ -15,12 +15,18 @@ pass before the block scan (one (n_stab, ns) sort instead of n_stab
 separate ones).
 
 Layout notes:
-- All left-multiplications are expressed as right-multiplications of
-  transposes plus ONE explicit (WB, ns, ns) transpose per slice (Mosaic
-  has a fast transpose; lane-dynamic slicing does not exist here at all).
-- The block product is maintained TRANSPOSED (BbarT' = BbarT expK^T
-  diag(expV)) so the forward accumulation is also right-multiplying; it is
-  transposed once on output.
+- G and G^T are maintained as two independent matmul chains with ZERO
+  explicit transposes: a left-multiply (M @ X)^T is one dot_general
+  contracting X's row axis (see left_t) — Mosaic transposes of
+  (WB, ns, ns) cost more than the extra matmuls.
+- The forward block product is accumulated TRANSPOSED (BbarT' = BbarT
+  expK^T diag(expV)) so it is right-multiplying too; the wrapper
+  transposes once per block in XLA.
+- Every field-dependent Metropolis factor is precomputed outside the
+  kernel (each site is visited once per slice, so its pre-update value is
+  the slice-start value); all table lookups are where-selects and
+  proposals are indexed by SITE, so the precompute contains no gathers
+  (XLA:TPU gathers are element-at-a-time — measured ~80 ms/pair).
 - n_stab is a Python constant: the slice loop is unrolled inside the
   kernel, so every stream offset is static.
 
@@ -269,6 +275,9 @@ def fused_block(model, order, props, us, G, fields_blk, *,
     if ns % k_delay:
         k_delay = next(k for k in (16, 8, 4, 2, 1) if ns % k == 0)
     L = n_slices * ns
+    # CPU backends run the kernel interpreted (functional, for tests and
+    # for an explicit [simulation] engine = fused on CPU)
+    interpret = interpret or jax.default_backend() == "cpu"
 
     # ------------------------------------------------------------------
     # host-graph precomputation of every field-dependent factor: each site
