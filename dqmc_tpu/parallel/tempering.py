@@ -233,7 +233,8 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     manager = MeasurementManager(lat, n_walkers=R, measure_unequal=uneq,
                                  out_dir=out_dir, dtype=dtype,
                                  start_bin=start_bin,
-                                 file_mode="a" if start_bin else "w")
+                                 file_mode="a" if start_bin else "w",
+                                 sink=params.get_str("io", "sink", "h5"))
     manager.add_defaults()
 
     def save_ckpt():

@@ -204,3 +204,53 @@ def test_f64_actions_match_f64_chain_decisions():
         np.testing.assert_array_equal(np.asarray(s64.fields),
                                       np.asarray(s32.fields))
         assert s32.G.dtype == jnp.float32  # chain dtype preserved
+
+
+def test_pt_driver_spool_sink_matches_h5(tmp_path):
+    """PT runs can use the async C++ spool sink; the converted HDF5 must be
+    identical to the synchronous h5 sink's output."""
+    import h5py
+    from dqmc_tpu.config import Parameters
+    from dqmc_tpu.run import run_simulation
+
+    base = """
+[Lattice]
+L1 = 2
+L2 = 2
+[hubbard]
+U = 4.0
+t = 1.0
+mu = 0.0
+[simulation]
+beta = 2.0
+nt = 8
+n_therms = 1
+n_sweeps = 2
+n_bins = 2
+n_stab = 4
+seed = 9
+dtype = float64
+[ParallelTempering]
+enabled = true
+sweep_steps = 2
+betas = 1.5, 2.5
+[io]
+sink = %s
+"""
+    outs = {}
+    for sink in ("h5", "spool"):
+        d = tmp_path / sink
+        d.mkdir()
+        run_simulation(Parameters.from_string(base % sink),
+                       out_dir=str(d / "results"), verbose=False)
+        data = {}
+        for r in range(2):
+            with h5py.File(d / "results" / f"data_{r}.h5") as f:
+                f.visititems(lambda n, o: data.__setitem__(
+                    f"{r}/{n}", np.asarray(o[...]))
+                    if isinstance(o, h5py.Dataset) else None)
+        outs[sink] = data
+    assert outs["h5"].keys() == outs["spool"].keys()
+    for k in outs["h5"]:
+        np.testing.assert_allclose(outs["h5"][k], outs["spool"][k],
+                                   rtol=0, atol=1e-13, err_msg=k)
