@@ -177,6 +177,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", choices=sorted(CONFIGS), default="headline")
     p.add_argument("--walkers", type=int, default=None)
+    p.add_argument("--n-stab", type=int, default=None,
+                   help="override the preset's stabilization interval")
     p.add_argument("--inner", type=int, default=4,
                    help="sweep-pairs per jitted chunk")
     p.add_argument("--reps", type=int, default=3)
@@ -188,6 +190,8 @@ def main():
     args = p.parse_args()
 
     L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
+    if args.n_stab:
+        NSTAB = args.n_stab
     walkers = args.walkers or default_w
     sys.path.insert(0, REPO)
 

@@ -107,7 +107,10 @@ def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
     # RT, their pipeline double-buffers) plus panel temporaries; v5e VMEM
     # is 128 MB once the default 16 MB scoped cap is raised
     n_pad = -(-n // 128) * 128
-    per = 5 * n * n_pad * jnp.dtype(dtype).itemsize
+    # measured: 4 matrices at n=1024 needed 111 MB => ~7 (n, n_pad) buffers
+    # per matrix live (QT aliased with input + RT + pipeline double-buffers
+    # + panel temporaries)
+    per = 7 * n * n_pad * jnp.dtype(dtype).itemsize
     WB = max(1, min(B, (80 * 2**20) // per))
     while B % WB:
         WB -= 1
