@@ -165,7 +165,7 @@ def _fused_block_kernel(n_slices, k_delay, forward,
         base = l * ns
 
         def body(idx, acc):
-            slot = jax.lax.rem(idx, k_delay)
+            slot = jax.lax.rem(idx, jnp.int32(k_delay))
             i = order_ref[l, idx]
             onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
                                jnp.asarray(0.0, dtype))
@@ -205,7 +205,7 @@ def _fused_block_kernel(n_slices, k_delay, forward,
 
             return acc + accf.reshape(1, WB)
 
-        acc_ref[...] += jax.lax.fori_loop(0, ns, body,
+        acc_ref[...] += jax.lax.fori_loop(jnp.int32(0), jnp.int32(ns), body,
                                           jnp.zeros((1, WB), dtype))
 
     acc_ref[...] = jnp.zeros_like(acc_ref)

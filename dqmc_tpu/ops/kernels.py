@@ -44,9 +44,9 @@ def _update_kernel(scal_ref, table_ref, fields_in_ref, order_ref, props_ref,
     # SMEM supports scalar access only: copy the field row element-wise
     def copy_field(j, _):
         fields_ref[0, j] = fields_in_ref[0, j]
-        return 0
+        return jnp.int32(0)  # i32 carry: i64 does not lower in Mosaic
 
-    jax.lax.fori_loop(0, ns, copy_field, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(ns), copy_field, jnp.int32(0))
 
     g_hs = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
@@ -90,7 +90,8 @@ def _update_kernel(scal_ref, table_ref, fields_in_ref, order_ref, props_ref,
 
         return acc + accept.astype(dtype)
 
-    acc = jax.lax.fori_loop(0, ns, body, jnp.asarray(0.0, dtype))
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ns), body,
+                            jnp.asarray(0.0, dtype))
     acc_ref[0, 0] = acc / ns
 
 
@@ -153,14 +154,16 @@ def _batched_update_kernel(k_delay, scal_ref, ga_ref, order_ref, props_ref,
         return out
 
     def body(idx, acc):
-        slot = jax.lax.rem(idx, k_delay)
+        slot = jax.lax.rem(idx, jnp.int32(k_delay))
         i = order_ref[0, idx]
         onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
                            jnp.asarray(0.0, dtype))          # (1, ns)
 
         fields = fields_ref[...]                             # (WB, ns)
+        # dtype pinned: jnp.sum would promote i32 -> i64 under x64, which
+        # Mosaic cannot lower
         old = jnp.sum(fields * (lane_ids == i), axis=1,
-                      keepdims=True)                         # (WB, 1)
+                      keepdims=True, dtype=jnp.int32)        # (WB, 1)
         r = props_ref[pl.ds(idx, 1), :].reshape(WB, 1)
         new = r + (r >= old).astype(r.dtype)                 # skip-old trick
         u = us_ref[pl.ds(idx, 1), :].reshape(WB, 1)
@@ -203,7 +206,8 @@ def _batched_update_kernel(k_delay, scal_ref, ga_ref, order_ref, props_ref,
 
         return acc + accept.astype(dtype).reshape(1, WB)
 
-    acc = jax.lax.fori_loop(0, ns, body, jnp.zeros((1, WB), dtype))
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ns), body,
+                            jnp.zeros((1, WB), dtype))
     acc_ref[...] = acc / ns
 
 

@@ -91,9 +91,9 @@ def _cgs2_kernel(n_panels, block, at_in_ref, qt_ref, rt_ref):
                     rt_ref[:, pl.ds(p + j, 1), :] += widen(c + nrm * onehot_j)
                     safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
                     qt_ref[:, pl.ds(p + j, 1), :] = y / safe[:, :, None]
-            return 0
+            return jnp.int32(0)  # i32 carry: i64 does not lower in Mosaic
 
-        jax.lax.fori_loop(0, block, col, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), col, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -115,7 +115,13 @@ def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
     while B % WB:
         WB -= 1
     grid = (B // WB,)
-    spec = pl.BlockSpec((WB, n, n), lambda i: (i, 0, 0),
+    # index-map zeros must be CONCRETE i32 (numpy scalars): under
+    # jax_enable_x64 literal python ints trace as i64 and Mosaic cannot
+    # legalize the (i32, i64, i64) index tuple; traced jnp constants are
+    # rejected as captures
+    import numpy as _np
+    zero = _np.int32(0)
+    spec = pl.BlockSpec((WB, n, n), lambda i: (i, zero, zero),
                         memory_space=pltpu.VMEM)
     QT, RT = pl.pallas_call(
         kern,
