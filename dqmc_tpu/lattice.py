@@ -206,3 +206,47 @@ def square_lattice(L1: int, L2: int) -> Lattice:
     """The reference driver's lattice: 1-orbital square, a1=(1,0), a2=(0,1)
     (main.cpp:85-88)."""
     return Lattice(L1, L2)
+
+
+def triangular_lattice(L1: int, L2: int) -> Lattice:
+    """1-orbital triangular lattice, a1=(1,0), a2=(1/2, sqrt(3)/2).
+
+    Beyond reference capability (the reference hardcodes the square
+    lattice, main.cpp:85-88); the Bravais machinery here is general."""
+    return Lattice(L1, L2, a1=(1.0, 0.0), a2=(0.5, np.sqrt(3) / 2))
+
+
+def honeycomb_lattice(L1: int, L2: int) -> Lattice:
+    """2-orbital honeycomb (graphene) lattice: triangular Bravais vectors
+    with A at (0,0) and B at (a1+a2)/3.  Beyond reference capability."""
+    a1 = np.array([1.0, 0.0])
+    a2 = np.array([0.5, np.sqrt(3) / 2])
+    b_off = (a1 + a2) / 3.0
+    return Lattice(L1, L2, a1=a1, a2=a2, orbs=((0.0, 0.0), tuple(b_off)))
+
+
+def nn_bonds(geometry: str) -> List[Tuple[Tuple[int, int], int, int]]:
+    """Nearest-neighbour bond set for a geometry: (cell delta, orb_from,
+    orb_to) triples, one entry per bond direction (the hermitian conjugate
+    is implied).
+
+    - square: +x and +y cell translations (model.cpp:39-60 semantics);
+    - triangular: +a1, +a2, and +a2-a1;
+    - honeycomb: A->B within the cell and to the -a1 / -a2 neighbour cells
+      (each A has 3 NN B sites).
+    """
+    if geometry == "square":
+        return [((1, 0), 0, 0), ((0, 1), 0, 0)]
+    if geometry == "triangular":
+        return [((1, 0), 0, 0), ((0, 1), 0, 0), ((-1, 1), 0, 0)]
+    if geometry == "honeycomb":
+        return [((0, 0), 0, 1), ((-1, 0), 0, 1), ((0, -1), 0, 1)]
+    raise ValueError(f"unknown geometry: {geometry}")
+
+
+def make_lattice(geometry: str, L1: int, L2: int) -> Lattice:
+    builders = {"square": square_lattice, "triangular": triangular_lattice,
+                "honeycomb": honeycomb_lattice}
+    if geometry not in builders:
+        raise ValueError(f"unknown geometry: {geometry}")
+    return builders[geometry](L1, L2)

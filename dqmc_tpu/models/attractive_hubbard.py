@@ -46,21 +46,30 @@ def _static():
     return dataclasses.field(metadata=dict(static=True))
 
 
-def build_kinetic_matrix(lat: Lattice, t: float, mu: float) -> np.ndarray:
-    """Hopping + chemical-potential matrix K (model.cpp:39-60).
+def build_kinetic_matrix(lat: Lattice, t: float, mu: float,
+                         bonds=None) -> np.ndarray:
+    """Hopping + chemical-potential matrix K (model.cpp:39-60), generalized
+    to any bond set.
 
-    K[i,i] = -mu; K[i, i+x] = K[i, i+y] = -t with PBC.  Assignment (not
-    accumulation) semantics match the reference, which writes K(i,j) = -t —
-    relevant only for L=2 where +x and -x bonds coincide.
+    K[i,i] = -mu; K[i,j] = K[j,i] = -t for every bond (delta, orb_a,
+    orb_b): site (cell, orb_a) -> (cell+delta, orb_b) with PBC.  Default
+    bonds are the square lattice's +x/+y (the reference's hardcoded case);
+    pass `dqmc_tpu.lattice.nn_bonds(geometry)` for triangular/honeycomb.
+    Assignment (not accumulation) semantics match the reference, which
+    writes K(i,j) = -t — relevant only for L=2 where +x and -x bonds
+    coincide.
     """
+    if bonds is None:
+        bonds = [((1, 0), 0, 0), ((0, 1), 0, 0)]
     ns = lat.n_sites
     K = np.zeros((ns, ns))
     np.fill_diagonal(K, -mu)
-    for delta in ((1, 0), (0, 1)):
-        nm = lat.neighbor_map(delta, orb=0)
-        for i in range(ns):
-            K[i, nm[i]] = -t
-            K[nm[i], i] = -t
+    for delta, orb_a, orb_b in bonds:
+        for cell in range(lat.n_cells):
+            i = lat.cell_to_site(cell, orb_a)
+            j = lat.site_neighbor(i, delta, orb_b)
+            K[i, j] = -t
+            K[j, i] = -t
     return K
 
 
@@ -98,9 +107,10 @@ class AttractiveHubbard:
     @classmethod
     def build(cls, lat: Lattice, *, U: float, t: float, mu: float,
               beta: float, nt: int, dtype=jnp.float64,
-              checkerboard: bool = False) -> "AttractiveHubbard":
+              checkerboard: bool = False,
+              bonds=None) -> "AttractiveHubbard":
         dtau = beta / nt
-        K = build_kinetic_matrix(lat, t, mu)
+        K = build_kinetic_matrix(lat, t, mu, bonds=bonds)
         # one-time dense expm in host f64 (model.cpp:31-35)
         expK = scipy.linalg.expm(-dtau * K)
         invexpK = scipy.linalg.expm(dtau * K)
@@ -109,6 +119,11 @@ class AttractiveHubbard:
         g = np.sqrt(0.5 * abs(U) * dtau)
         cb = {}
         if checkerboard:
+            if bonds is not None and sorted(bonds) != sorted(
+                    [((1, 0), 0, 0), ((0, 1), 0, 0)]):
+                raise ValueError("checkerboard kinetics supports the square "
+                                 "lattice only; use dense expK for other "
+                                 "geometries")
             from dqmc_tpu.models.kinetic import build_checkerboard
             perms, masks, ch, sh = build_checkerboard(lat, t, dtau)
             cb = dict(checkerboard=True,
@@ -132,6 +147,8 @@ class AttractiveHubbard:
     @classmethod
     def from_params(cls, params: Parameters, lat: Lattice, *,
                     beta: float | None = None, dtype=jnp.float64):
+        from dqmc_tpu.lattice import nn_bonds
+        geometry = params.get_str("Lattice", "geometry", "square")
         return cls.build(
             lat,
             U=params.get_float("hubbard", "U"),
@@ -141,6 +158,7 @@ class AttractiveHubbard:
             nt=params.get_int("simulation", "nt"),
             dtype=dtype,
             checkerboard=params.get_bool("hubbard", "checkerboard", False),
+            bonds=nn_bonds(geometry),
         )
 
     @property

@@ -57,9 +57,10 @@ class RepulsiveHubbard:
 
     @classmethod
     def build(cls, lat: Lattice, *, U: float, t: float, mu: float,
-              beta: float, nt: int, dtype=jnp.float64) -> "RepulsiveHubbard":
+              beta: float, nt: int, dtype=jnp.float64,
+              bonds=None) -> "RepulsiveHubbard":
         dtau = beta / nt
-        K = build_kinetic_matrix(lat, t, mu)
+        K = build_kinetic_matrix(lat, t, mu, bonds=bonds)
         return cls(
             n_sites=lat.n_sites, nt=int(nt), n_flavor=2, det_power=1,
             expK=jnp.asarray(scipy.linalg.expm(-dtau * K), dtype),
@@ -76,6 +77,8 @@ class RepulsiveHubbard:
     @classmethod
     def from_params(cls, params: Parameters, lat: Lattice, *,
                     beta: float | None = None, dtype=jnp.float64):
+        from dqmc_tpu.lattice import nn_bonds
+        geometry = params.get_str("Lattice", "geometry", "square")
         return cls.build(
             lat,
             U=params.get_float("hubbard", "U"),
@@ -84,6 +87,7 @@ class RepulsiveHubbard:
             beta=params.get_float("simulation", "beta") if beta is None else beta,
             nt=params.get_int("simulation", "nt"),
             dtype=dtype,
+            bonds=nn_bonds(geometry),
         )
 
     @property

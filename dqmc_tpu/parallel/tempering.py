@@ -150,7 +150,7 @@ def replica_exchange(models, cfg: EngineConfig, states: WalkerState,
 
 def run_parallel_tempering(params, *, out_dir: str = "results",
                            verbose: bool = True):
-    from dqmc_tpu.lattice import square_lattice
+    from dqmc_tpu.lattice import make_lattice
     from dqmc_tpu.measure import MeasurementManager
     from dqmc_tpu.models import AttractiveHubbard
     from dqmc_tpu.parallel.walkers import stack_models
@@ -183,8 +183,9 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     uneq = params.get_bool("simulation", "isMeasureUnequalTime", False)
     seed = params.get_int("simulation", "seed", 42)
 
-    lat = square_lattice(params.get_int("Lattice", "L1"),
-                         params.get_int("Lattice", "L2"))
+    lat = make_lattice(params.get_str("Lattice", "geometry", "square"),
+                       params.get_int("Lattice", "L1"),
+                       params.get_int("Lattice", "L2"))
     lat.save_info(os.path.join(out_dir, "info"))
     models = stack_models([
         AttractiveHubbard.from_params(params, lat, beta=b, dtype=dtype)

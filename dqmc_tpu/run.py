@@ -9,7 +9,7 @@ driver batches walkers with ``vmap`` on a single chip (section [walkers]);
 scaling across chips and parallel tempering live in ``dqmc_tpu.parallel``.
 
 Config schema (superset of the reference's, SURVEY.md section 5):
-  [Lattice]            L1, L2
+  [Lattice]            L1, L2, geometry (square|triangular|honeycomb, default square)
   [hubbard]            U, t, mu
   [simulation]         beta, nt, n_therms, n_sweeps, n_bins, n_stab,
                        symmetric (default false),
@@ -39,7 +39,7 @@ from dqmc_tpu.config import Parameters
 from dqmc_tpu.engine import (EngineConfig, init_state, reset_error_stats,
                              sweep_pair, half_warp)
 from dqmc_tpu.engine.uneqtime import sweep_unequal_time
-from dqmc_tpu.lattice import square_lattice
+from dqmc_tpu.lattice import make_lattice
 from dqmc_tpu.measure import MeasurementManager
 from dqmc_tpu.models import AttractiveHubbard
 
@@ -190,8 +190,9 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     seed = params.get_int("simulation", "seed", 42)
     n_walkers = params.get_int("walkers", "n_walkers", 1)
 
-    lat = square_lattice(params.get_int("Lattice", "L1"),
-                         params.get_int("Lattice", "L2"))
+    lat = make_lattice(params.get_str("Lattice", "geometry", "square"),
+                       params.get_int("Lattice", "L1"),
+                       params.get_int("Lattice", "L2"))
     lat.save_info(os.path.join(out_dir, "info"))
 
     from dqmc_tpu.models import MODEL_REGISTRY
