@@ -31,7 +31,8 @@ CONFIGS = {
     "headline": (16, 8.0, 160, 5, 4.0, 0.0, 16, False),
     "small": (8, 6.0, 120, 5, 4.0, 0.0, 64, False),
     "doped": (12, 6.0, 120, 5, 6.0, -0.88, 32, False),
-    "stretch": (32, 16.0, 320, 5, 4.0, 0.0, 4, True),
+    "stretch": (32, 16.0, 320, 5, 4.0, 0.0, 4, False),
+    "stretch_cb": (32, 16.0, 320, 5, 4.0, 0.0, 4, True),
 }
 
 L, BETA, NT, NSTAB, U, MU = CONFIGS["headline"][:6]

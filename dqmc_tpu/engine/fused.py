@@ -244,7 +244,9 @@ def _pick_block(W: int, ns: int, k: int, itemsize: int, n_slices: int = 8,
     from WB=1 to WB=8 on the headline run.
     """
     ns_pad = -(-ns // 128) * 128
-    per_walker = (7 * ns * ns_pad + 3 * k * ns_pad
+    # measured: ~14 (ns, ns_pad) buffers live per walker at large ns
+    # (G/GT/Bbar + pipeline double-buffers + dot_general temporaries)
+    per_walker = (14 * ns * ns_pad + 3 * k * ns_pad
                   + 6 * n_slices * ns_pad) * itemsize
     wb = max(1, min(W, budget // max(per_walker, 1)))
     while W % wb:
@@ -376,8 +378,12 @@ def fused_block(model, order, props, us, G, fields_blk, *,
 # ----------------------------------------------------------------------
 
 def supports_fused(model, cfg: EngineConfig) -> bool:
+    # ns cap: at ns=1024 a single walker's VMEM footprint is ~59 MB
+    # (measured), forcing WB=1 batch-starved matmuls — the per-slice path
+    # wins there
     return (model.n_flavor == 1 and model.det_power == 2
-            and not model.checkerboard and cfg.nt % cfg.n_stab == 0)
+            and not model.checkerboard and cfg.nt % cfg.n_stab == 0
+            and model.n_sites <= 512)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "forward", "interpret"))

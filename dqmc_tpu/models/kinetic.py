@@ -17,8 +17,13 @@ on the model's static ``checkerboard`` flag:
 The checkerboard operator *defines* the simulated B (its inverse is the
 exact reverse-order product, so stabilization is unaffected); relative to
 the dense model it differs by an additional O(dtau^2) Trotter term, the
-standard trade for O(ns^2) kinetics.  Crossover: dense GEMMs win below
-ns ~ 512 on the MXU; checkerboard wins for large lattices.
+standard trade for O(ns^2) kinetics.  Measured crossover on TPU v5e
+(trace-timed B G B^-1 wraps, f32): dense GEMMs win at BOTH ns=256
+(0.034 vs 0.132 ms, W=16) and ns=1024 (0.57 vs 0.90 ms, W=4) — the MXU's
+O(ns^3) at full utilization beats the VPU's O(ns^2) masked gather-mix
+until far larger lattices.  Keep checkerboard for memory-bound regimes
+(no dense expK storage) and as the reference-TODO parity feature
+(README.md:40); default to dense for throughput.
 """
 
 from __future__ import annotations
