@@ -31,20 +31,31 @@ from dqmc_tpu.measure.context import MeasurementContext
 def site_to_r(chi, ctx: MeasurementContext):
     """chi (ns, ns) or (ns, ns, S) site-pair array -> (L1, L2, n_orb^2 * S)
     displacement array, averaged over cells (1/n_cells, measurementh5.h:61).
+
+    The cell translation is separable (cell = uy*L1 + ux translates
+    per-axis), so the displacement reduction runs as TWO dense einsums
+    against one-hot cyclic-shift tensors — pure MXU work.  The equivalent
+    gather formulation costs ~0.27 ms per (256, 256) call on TPU (XLA
+    gathers are element-at-a-time) and dominated measured unequal-time
+    sweeps at 3 observables x nt+1 taus.
     """
     nc, no = ctx.n_cells, ctx.n_orb
+    L1, L2 = ctx.L1, ctx.L2
     squeeze = chi.ndim == 2
     if squeeze:
         chi = chi[..., None]
     S = chi.shape[-1]
-    chi = chi.reshape(nc, no, nc, no, S)
-    cells = jnp.arange(nc)
-    Tf = ctx.disp_table.reshape(-1, nc)                    # (nd, nc)
-    # gathered[d, c, a, b, s] = chi[c, a, T[d, c], b, s]
-    gathered = chi[cells[None, :], :, Tf, :, :]
-    out = gathered.mean(axis=1)                            # (nd, no, no, S)
+    dt = chi.dtype
+    # cell index = uy * L1 + ux  =>  (y, x) cell-major axes
+    chi7 = chi.reshape(L2, L1, no, L2, L1, no, S)
+    # out[dx, dy, a, b, s] =
+    #   (1/nc) sum_{x,y} chi[(y,x),a,((y+dy)%L2,(x+dx)%L1),b,s]
+    t1 = jnp.einsum("yxaYXbs,xdX->yaYdbs", chi7, ctx.shift1.astype(dt),
+                    precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("yaYdbs,yeY->deabs", t1, ctx.shift2.astype(dt),
+                     precision=jax.lax.Precision.HIGHEST) / nc
     # reference flat layout: (a*n_orb + b)*S + s  (measurementh5.h:61)
-    return out.reshape(ctx.L1, ctx.L2, no * no * S)
+    return out.reshape(L1, L2, no * no * S)
 
 
 def r_to_k(chi_r, ctx: MeasurementContext):
