@@ -81,16 +81,17 @@ def _cgs2_kernel(n_panels, block, at_in_ref, qt_ref, rt_ref):
                 # so accumulate a full (1, n) row (p is a Python constant)
                 return jnp.pad(c, ((0, 0), (p, n - p - block)))[:, None, :]
 
-            for rep in range(2):
-                c = dot_bn(y, P).reshape(B, block) * mask
-                y = y - mat_bn(c[:, None, :], P)
-                if rep == 0:
-                    rt_ref[:, pl.ds(p + j, 1), :] += widen(c)
-                else:
-                    nrm = jnp.sqrt(jnp.sum(y * y, axis=2))    # (B, 1)
-                    rt_ref[:, pl.ds(p + j, 1), :] += widen(c + nrm * onehot_j)
-                    safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
-                    qt_ref[:, pl.ds(p + j, 1), :] = y / safe[:, :, None]
+            c1 = dot_bn(y, P).reshape(B, block) * mask
+            y = y - mat_bn(c1[:, None, :], P)
+            c2 = dot_bn(y, P).reshape(B, block) * mask
+            y = y - mat_bn(c2[:, None, :], P)
+            nrm = jnp.sqrt(jnp.sum(y * y, axis=2))            # (B, 1)
+            # panel lanes of this RT row are zero before this single
+            # accumulate, so summing c1+c2 in registers is bit-identical
+            # to two separate read-modify-writes
+            rt_ref[:, pl.ds(p + j, 1), :] += widen(c1 + c2 + nrm * onehot_j)
+            safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+            qt_ref[:, pl.ds(p + j, 1), :] = y / safe[:, :, None]
             return jnp.int32(0)  # i32 carry: i64 does not lower in Mosaic
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), col, jnp.int32(0))
