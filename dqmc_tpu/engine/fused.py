@@ -185,7 +185,11 @@ def _fused_block_kernel(n_slices, k_delay, forward,
 
             r_flv = 1.0 + (1.0 - G_ii) * delta
             R = gb * r_flv * r_flv
-            accept = u < jnp.minimum(jnp.asarray(1.0, dtype), jnp.abs(R))
+            # u < min(1, |R|) reduced to u < R: R >= 0 bitwise for this
+            # kernel's models (gb > 0: product of a positive gamma ratio
+            # and an exp; r^2 >= 0) and uniform u < 1 strictly — exact
+            # decision equivalence, two fewer VPU ops on the critical path
+            accept = u < R
             prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
             accf = accept.astype(dtype)
 
@@ -203,10 +207,14 @@ def _fused_block_kernel(n_slices, k_delay, forward,
                 ut_ref[...] = jnp.zeros_like(ut_ref)
                 v_ref[...] = jnp.zeros_like(v_ref)
 
-            return acc + accf.reshape(1, WB)
+            return acc
 
-        acc_ref[...] += jax.lax.fori_loop(jnp.int32(0), jnp.int32(ns), body,
-                                          jnp.zeros((1, WB), dtype))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(ns), body,
+                          jnp.int32(0))
+        # acceptance tally read back from the mask (2 ops per slice instead
+        # of 1 per site on the sequential critical path)
+        acc_ref[...] += jnp.sum(mask_ref[:, base:base + ns],
+                                axis=1)[None, :]
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for step in range(n_slices):
