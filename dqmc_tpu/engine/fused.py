@@ -65,7 +65,7 @@ from dqmc_tpu.engine.sweep import (
 )
 
 
-def _fused_block_kernel(n_slices, k_delay, forward,
+def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision,
                         order_ref, gb_ref, delta_ref, us_ref,
                         ev_old_ref, ev_new_ref,
                         expK_ref, expKT_ref, invexpKT_ref, expK2_ref,
@@ -113,21 +113,40 @@ def _fused_block_kernel(n_slices, k_delay, forward,
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
 
+    three_pass = mxu_precision == "bf16x3" and dtype == jnp.float32
+
+    def _split(X):
+        # hi/lo bf16 decomposition: X = hi + lo to ~16-bit mantissa
+        h = X.astype(jnp.bfloat16)
+        return h, (X - h.astype(dtype)).astype(jnp.bfloat16)
+
+    def _dot(X, M, dims):
+        if not three_pass:
+            return jax.lax.dot_general(X, M, dims,
+                                       preferred_element_type=dtype,
+                                       precision=mxu_precision)
+        # manual bf16x3 (Mosaic lowers only DEFAULT/HIGHEST; HIGHEST is 6
+        # bf16 passes on v5e).  Three passes with f32 accumulation give
+        # ~1e-5 relative error — three orders below the f32 chain's own
+        # stabilization floor (NOTES.md) at half the MXU work.
+        Xh, Xl = _split(X)
+        Mh, Ml = _split(M)
+        # precision must be DEFAULT: a global "highest" default would ask
+        # Mosaic for fp32 contraction of bf16 operands ("Bad lhs type")
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dims, preferred_element_type=dtype,
+            precision=jax.lax.Precision.DEFAULT)
+        return d(Xh, Mh) + (d(Xh, Ml) + d(Xl, Mh))
+
     def right(X, M_ref):
         # X (WB, ns, ns) @ M (ns, ns) on the MXU, normal layout
-        return jax.lax.dot_general(
-            X, M_ref[...], (((2,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST)
+        return _dot(X, M_ref[...], (((2,), (0,)), ((), ())))
 
     def left_t(X, MT_ref):
         # (M @ X)^T for per-batch X with M given TRANSPOSED — one
         # dot_general contracting X's ROW axis; no explicit transpose:
         # out[w, k, b] = sum_j X[w, j, k] M[b, j] = (M X)[b, k]^T
-        return jax.lax.dot_general(
-            X, MT_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST)
+        return _dot(X, MT_ref[...], (((1,), (0,)), ((), ())))
 
     def expv_pre(l):
         return ev_old_ref[:, l * ns:(l + 1) * ns]         # (WB, ns) static
@@ -200,10 +219,8 @@ def _fused_block_kernel(n_slices, k_delay, forward,
             @pl.when(slot == k_delay - 1)
             def _flush():
                 dn = (((1,), (1,)), ((0,), (0,)))
-                g_ref[...] += jax.lax.dot_general(
-                    ut_ref[...], v_ref[...], dn, preferred_element_type=dtype)
-                gt_ref[...] += jax.lax.dot_general(
-                    v_ref[...], ut_ref[...], dn, preferred_element_type=dtype)
+                g_ref[...] += _dot(ut_ref[...], v_ref[...], dn)
+                gt_ref[...] += _dot(v_ref[...], ut_ref[...], dn)
                 ut_ref[...] = jnp.zeros_like(ut_ref)
                 v_ref[...] = jnp.zeros_like(v_ref)
 
@@ -264,10 +281,10 @@ def _pick_block(W: int, ns: int, k: int, itemsize: int, n_slices: int = 8,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_slices", "k_delay", "forward",
-                                    "interpret"))
+                                    "interpret", "precision"))
 def fused_block(model, order, props, us, G, fields_blk, *,
                 n_slices: int, k_delay: int = 32, forward: bool = True,
-                interpret: bool = False):
+                interpret: bool = False, precision: str = "highest"):
     """Run one stabilization block for a walker batch.
 
     order: (n_slices, ns) i32 shared visit orders; props (W, n_slices, ns)
@@ -332,7 +349,15 @@ def fused_block(model, order, props, us, G, fields_blk, *,
 
     WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize,
                      n_slices=n_slices)
-    kern = functools.partial(_fused_block_kernel, n_slices, k_delay, forward)
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions (it rejects
+    # bf16x3 "HIGH"); "bf16x3" selects the kernel's MANUAL three-pass
+    # hi/lo-split scheme, "default" = one raw bf16 pass (physics-breaking,
+    # kept for measurement)
+    mxu_prec = {"highest": jax.lax.Precision.HIGHEST,
+                "default": jax.lax.Precision.DEFAULT,
+                "bf16x3": "bf16x3"}[precision]
+    kern = functools.partial(_fused_block_kernel, n_slices, k_delay, forward,
+                             mxu_prec)
 
     def call_block(gb_b, delta_b, us_b, evo_b, evn_b, G_b):
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -388,10 +413,10 @@ def fused_block(model, order, props, us, G, fields_blk, *,
 def supports_fused(model, cfg: EngineConfig) -> bool:
     # ns cap: at ns=1024 a single walker's VMEM footprint is ~59 MB
     # (measured), forcing WB=1 batch-starved matmuls — the per-slice path
-    # wins there
+    # wins there.  nt % n_stab != 0 is handled by a separately-compiled
+    # tail block (see sweep_fused).
     return (model.n_flavor == 1 and model.det_power == 2
-            and not model.checkerboard and cfg.nt % cfg.n_stab == 0
-            and model.n_sites <= 512)
+            and not model.checkerboard and model.n_sites <= 512)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "forward", "interpret"))
@@ -407,11 +432,13 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
     """
     if not supports_fused(model, cfg):
         raise NotImplementedError("fused sweep: single-flavor dense model "
-                                  "with nt % n_stab == 0 required")
+                                  "with ns <= 512 required")
     W = states.G.shape[0]
     nfl, ns = model.n_flavor, model.n_sites
     dtype = model.dtype
     n_stab, n_stack = cfg.n_stab, cfg.n_stack
+    rem = cfg.nt % n_stab              # ragged tail block (dqmc.cpp:14-18)
+    n_full = cfg.nt // n_stab
 
     # one key split per sweep: per-walker per-slice keys
     keys = jax.vmap(lambda k: jax.random.split(k, cfg.nt + 1))(states.key)
@@ -425,33 +452,44 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
     us = jax.vmap(jax.vmap(
         lambda k: draw_slice_randoms(k, ns, dtype)[2]))(slice_keys)
 
-    orders = orders.reshape(n_stack, n_stab, ns)
-    props = props.reshape(W, n_stack, n_stab, ns)
-    us = us.reshape(W, n_stack, n_stab, ns)
+    tail = (orders[-rem:], props[:, -rem:], us[:, -rem:]) if rem else None
+    orders = orders[:n_full * n_stab].reshape(n_full, n_stab, ns)
+    props = props[:, :n_full * n_stab].reshape(W, n_full, n_stab, ns)
+    us = us[:, :n_full * n_stab].reshape(W, n_full, n_stab, ns)
 
     stabilize_f = jax.vmap(
         lambda G, stack, bbar, i: _stabilize_one(G, stack, bbar, i, forward),
         in_axes=(0, 0, 0, None))
 
-    def block_step(carry, xs):
+    def run_block(carry, i_stack, order_b, props_b, us_b, n_slices, l0):
         fields, G, stack, log_det, acc, emax, esum, ecnt = carry
-        i_stack, order_b, props_b, us_b = xs
-        l0 = i_stack * n_stab
-        fields_blk = jax.lax.dynamic_slice_in_dim(fields, l0, n_stab, axis=1)
+        fields_blk = jax.lax.dynamic_slice_in_dim(fields, l0, n_slices,
+                                                  axis=1)
         G, fields_blk, bbar, acc_b = fused_block(
             model, order_b, props_b, us_b, G, fields_blk,
-            n_slices=n_stab, forward=forward, interpret=interpret)
+            n_slices=n_slices, forward=forward, interpret=interpret,
+            precision=cfg.wrap_precision)
         fields = jax.lax.dynamic_update_slice_in_dim(fields, fields_blk, l0,
                                                      axis=1)
         G_new, stack, log_det_new, err = stabilize_f(G, stack, bbar, i_stack)
-        acc = acc + acc_b * (n_stab / cfg.nt)
+        acc = acc + acc_b * (n_slices / cfg.nt)
         emax = jnp.maximum(emax, err)
         esum = esum + err
         ecnt = ecnt + jnp.ones_like(ecnt)
-        return (fields, G_new, stack, log_det_new, acc, emax, esum,
-                ecnt), None
+        return (fields, G_new, stack, log_det_new, acc, emax, esum, ecnt)
 
-    i_stacks = jnp.arange(n_stack, dtype=jnp.int32)
+    def block_step(carry, xs):
+        i_stack, order_b, props_b, us_b = xs
+        return run_block(carry, i_stack, order_b, props_b, us_b,
+                         n_stab, i_stack * n_stab), None
+
+    def tail_block(carry):
+        # the short last block runs as a separately-compiled kernel call
+        order_t, props_t, us_t = tail
+        return run_block(carry, jnp.int32(n_stack - 1), order_t, props_t,
+                         us_t, rem, n_full * n_stab)
+
+    i_stacks = jnp.arange(n_full, dtype=jnp.int32)
     if not forward:
         i_stacks = i_stacks[::-1]
         orders = orders[::-1]
@@ -463,7 +501,11 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
     carry = (states.fields, states.G, states.stack, states.log_det_M,
              states.acc_sum, states.err_max, states.err_sum,
              states.err_count)
+    if rem and not forward:
+        carry = tail_block(carry)
     carry, _ = jax.lax.scan(block_step, carry, xs)
+    if rem and forward:
+        carry = tail_block(carry)
     (fields, G, stack, log_det, acc, emax, esum, ecnt) = carry
     return dataclasses.replace(
         states, fields=fields, G=G, stack=stack, log_det_M=log_det,

@@ -42,6 +42,12 @@ class EngineConfig:
     # On CPU backends the kernel runs in (slow) interpret mode, so leave
     # this off for CPU runs.
     use_pallas: bool = False
+    # MXU pass count for the fused kernel's f32 propagation/flush matmuls:
+    # "highest" = f32-exact (6 bf16 passes on v5e); "default" = one bf16
+    # pass (~4e-3 relative — degrades the chain's self-check error, see
+    # NOTES.md; Mosaic does not lower the bf16x3 middle ground).
+    # [simulation] wrap_precision in the driver config.
+    wrap_precision: str = "highest"
 
     def __post_init__(self):
         if self.nt <= 0 or self.n_stab <= 0:

@@ -31,14 +31,14 @@ import jax.numpy as jnp
 
 from dqmc_tpu.engine.state import EngineConfig, WalkerState
 from dqmc_tpu.engine.sweep import (
-    _inv_invldr_f,
-    _inv_pair_f,
     _mat_mul_ldr_f,
     identity_stack,
     slot_get,
 )
 from dqmc_tpu.models.kinetic import apply_B_left, apply_invB_right
-from dqmc_tpu.ops.linalg import LDR
+from dqmc_tpu.ops.linalg import LDR, inv_triplet_dag
+
+_inv_triplet_f = jax.vmap(inv_triplet_dag)
 
 
 class TauGreens(NamedTuple):
@@ -92,6 +92,86 @@ def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
 
     Bt0_init = slot_get(identity_stack(nfl, 1, ns, dtype), 0)
 
+    step = _uneq_step(model, cfg, state, lambda a, b, c: emit(a, b, c, G00),
+                      eyeB)
+    carry0 = (Gtt0, Gt00, G0t0, Bt0_init, eyeB, jnp.zeros((), dtype))
+    (_, _, _, _, _, err_max), ys = jax.lax.scan(step, carry0, xs)
+
+    y0 = emit(Gtt0, Gt00, G0t0, G00)
+    ys = jax.tree_util.tree_map(
+        lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+        y0, ys)
+    return ys, err_max
+
+
+def iter_unequal_time(model, cfg: EngineConfig, state: WalkerState,
+                      tau_chunk: int = 16, warp: bool = False):
+    """Stream the tau-resolved Green's functions in bounded device memory.
+
+    The full ``TauGreens`` stack is O(3 * nt * nfl * ns^2) — ~4 GB per
+    walker at L=32, beta=16 — so large lattices cannot materialize it on
+    device.  This generator runs the exact same propagation/stabilization
+    chain as ``sweep_unequal_time`` in jitted scan segments of ``tau_chunk``
+    slices, yielding ``(tau_start, TauGreens_chunk)`` with the chunk pulled
+    to host numpy before the next segment runs.  Chunks concatenate to the
+    unchunked result exactly (the scan carry crosses chunk boundaries
+    unchanged); tau = 0 is included in the first chunk, so chunk c covers
+    tau = [c == 0 ? 0 : c*tau_chunk + 1 .. min((c+1)*tau_chunk, nt)].
+
+    Same contract as sweep_unequal_time: call right after a backward sweep.
+    """
+    import numpy as np
+
+    nfl, ns = model.n_flavor, model.n_sites
+    dtype = model.dtype
+    eye = jnp.eye(ns, dtype=dtype)
+    eyeB = jnp.tile(eye, (nfl, 1, 1))
+    G00 = state.G
+    Gtt0, Gt00, G0t0 = G00, G00, G00 - eye
+
+    carry = (Gtt0, Gt00, G0t0,
+             slot_get(identity_stack(nfl, 1, ns, dtype), 0), eyeB,
+             jnp.zeros((), dtype))
+    emit0 = _tau_emit(model, warp)
+    first = jax.tree_util.tree_map(lambda x: np.asarray(x)[None],
+                                   emit0(Gtt0, Gt00, G0t0))
+    for start in range(0, cfg.nt, tau_chunk):
+        n = min(tau_chunk, cfg.nt - start)
+        carry, ys = _uneq_segment(model, cfg, state, carry, start, n=n,
+                                  warp=warp)
+        ys = jax.tree_util.tree_map(np.asarray, ys)
+        if start == 0:
+            ys = jax.tree_util.tree_map(
+                lambda f, r: np.concatenate([f, r], axis=0), first, ys)
+        yield start, ys
+
+
+def _tau_emit(model, warp: bool):
+    if not warp:
+        return TauGreens
+    from dqmc_tpu.engine.sweep import half_warp
+    return lambda a, b, c: TauGreens(*(half_warp(model, x)
+                                       for x in (a, b, c)))
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "warp"))
+def _uneq_segment(model, cfg, state, carry, start, *, n, warp):
+    nfl, ns = model.n_flavor, model.n_sites
+    eyeB = jnp.tile(jnp.eye(ns, dtype=model.dtype), (nfl, 1, 1))
+    ls, i_stacks, do_stabs = cfg.slice_schedule(forward=True)
+    xs = jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_slice_in_dim(jnp.asarray(a), start, n,
+                                               axis=0),
+        (ls, i_stacks, do_stabs))
+    step = _uneq_step(model, cfg, state, _tau_emit(model, warp), eyeB)
+    return jax.lax.scan(step, carry, xs)
+
+
+def _uneq_step(model, cfg, state, emit, eyeB):
+    """The shared per-slice scan body of the unequal-time sweep (without
+    the equal-time G00 argument in emit — used by the chunked iterator)."""
+    dtype = model.dtype
+
     def step(carry, x):
         Gtt, Gt0, G0t, Bt0, Bbar, emax = carry
         l, i_stack, do_stab = x
@@ -105,13 +185,8 @@ def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
         def stab(args):
             Gtt, Gt0, G0t, Bt0, Bbar = args
             Bt0 = _mat_mul_ldr_f(Bbar, Bt0)
-            # suffix B(beta,tau) read from the stack in TRANSPOSE form
             Bbt = slot_get(state.stack, i_stack + 2)
-            Gtt_n, _ = _inv_pair_f(Bt0, Bbt)
-            Gt0_n = _inv_invldr_f(Bt0, Bbt)
-            # G0t = -[B(beta,tau)^{-1} + B(tau,0)]^{-1}; by the transpose
-            # identity the same kernel applies with swapped roles, transposed
-            G0t_n = -jnp.swapaxes(_inv_invldr_f(Bbt, Bt0), -1, -2)
+            Gtt_n, Gt0_n, G0t_n, _ = _inv_triplet_f(Bt0, Bbt)
             err = jnp.maximum(
                 jnp.max(jnp.abs(Gtt - Gtt_n)),
                 jnp.maximum(jnp.max(jnp.abs(Gt0 - Gt0_n)),
@@ -125,13 +200,6 @@ def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
         Gtt, Gt0, G0t, Bt0, Bbar, err = jax.lax.cond(
             do_stab, stab, no_stab, (Gtt, Gt0, G0t, Bt0, Bbar))
         emax = jnp.maximum(emax, err)
-        return (Gtt, Gt0, G0t, Bt0, Bbar, emax), emit(Gtt, Gt0, G0t, G00)
+        return (Gtt, Gt0, G0t, Bt0, Bbar, emax), emit(Gtt, Gt0, G0t)
 
-    carry0 = (Gtt0, Gt00, G0t0, Bt0_init, eyeB, jnp.zeros((), dtype))
-    (_, _, _, _, _, err_max), ys = jax.lax.scan(step, carry0, xs)
-
-    y0 = emit(Gtt0, Gt00, G0t0, G00)
-    ys = jax.tree_util.tree_map(
-        lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
-        y0, ys)
-    return ys, err_max
+    return step

@@ -399,6 +399,67 @@ def inv_invldr_plus_ldr_dag(F1: LDR, F2t: LDR) -> jax.Array:
     return (F2t.L / d2l[..., None, :]) @ X
 
 
+def inv_triplet_dag(F1: LDR, F2t: LDR):
+    """All three unequal-time Green's functions from ONE factorization.
+
+    With B1 = F1 (normal form, B(tau,0)) and B2 = F2t_matrix^T (transpose
+    form, B(beta,tau)), the DQMC measurement triplet is
+
+        Gtt = [I + B1 B2]^{-1}          (dqmc.cpp:264-280, stablelinalg 94-126)
+        Gt0 = [B1^{-1} + B2]^{-1}       (stablelinalg.cpp:160-190)
+        G0t = -[B2^{-1} + B1]^{-1}
+
+    All three share the SAME stabilized middle matrix: inv_one_plus_ldr_dag
+    and inv_invldr_plus_ldr_dag(F1, F2t) build an identical
+
+        M = D1l^{-1} (L1^T L2) D2l^{-1} + D1s (R1 R2^T) D2s
+
+    and the role-swapped call for G0t builds exactly M^T (swap the two
+    factors and every term transposes).  So one QR of M serves all three:
+    Gtt/Gt0 solve against M with two right-hand sides, G0t solves against
+    M^T via the same factors (M^T = R^T Q^T => X = Q R^{-T} Y).  This
+    replaces three factorizations per unequal-time stabilization with one
+    — the single hottest saving in the measurement sweep (the reference
+    recomputes each separately, dqmc.cpp:264-280).
+
+    Returns (Gtt, Gt0, G0t, log_det) with log_det = log|det(I + B1 B2)|.
+    """
+    d1l, d1s = _split_scales(F1.d)
+    d2l, d2s = _split_scales(F2t.d)
+    L1T = jnp.swapaxes(F1.L, -1, -2)
+    R2T = jnp.swapaxes(F2t.R, -1, -2)
+    M = ((L1T @ F2t.L) / d1l[..., :, None] / d2l[..., None, :]
+         + (d1s[..., :, None] * (F1.R @ R2T)) * d2s[..., None, :])
+    n = F1.n
+
+    Ytt = L1T / d1l[..., :, None]
+    Yt0 = d1s[..., :, None] * F1.R
+    Y = jnp.concatenate([Ytt, Yt0], axis=-1)            # two RHS, one solve
+    Y0t = d2s[..., :, None] * F2t.R                     # RHS for M^T
+
+    if M.dtype == jnp.float32 and _f32_mode() == "cgs2":
+        from dqmc_tpu.ops.qr_kernel import cgs2_qr
+        Q, R = cgs2_qr(M)
+    else:
+        Q, R = jnp.linalg.qr(M)
+    QT = jnp.swapaxes(Q, -1, -2)
+    X = jax.lax.linalg.triangular_solve(R, QT @ Y, left_side=True,
+                                        lower=False)
+    # M^T x = y  =>  x = Q R^{-T} y (lower-triangular solve with R^T)
+    Xt = Q @ jax.lax.linalg.triangular_solve(
+        jnp.swapaxes(R, -1, -2), Y0t, left_side=True, lower=True)
+    logabs = jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))), axis=-1)
+    log_det = (jnp.sum(jnp.log(d1l), axis=-1)
+               + jnp.sum(jnp.log(d2l), axis=-1) + logabs)
+
+    W2 = F2t.L / d2l[..., None, :]
+    Gtt = W2 @ X[..., :, :n]
+    Gt0 = W2 @ X[..., :, n:]
+    G0t = -jnp.swapaxes((F1.L / d1l[..., None, :]) @ Xt, -1, -2)
+    return Gtt, Gt0, G0t, log_det
+
+
 def inv_invldr_plus_ldr(F1: LDR, F2: LDR) -> jax.Array:
     """G = [F1^-1 + F2]^-1 (stablelinalg.cpp:160-190).
 

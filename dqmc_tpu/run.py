@@ -72,11 +72,14 @@ def make_engine_config(params: Parameters, model) -> EngineConfig:
                     else "scan")
     impl = params.get_str("simulation", "site_update", default_impl)
     delay = params.get_int("simulation", "delay_rank", 32)
+    wrap_prec = params.get_str("simulation", "wrap_precision", "highest")
     if impl == "pallas":
-        return EngineConfig(nt=nt, n_stab=n_stab, use_pallas=True)
+        return EngineConfig(nt=nt, n_stab=n_stab, use_pallas=True,
+                            wrap_precision=wrap_prec)
     if impl == "delayed":
-        return EngineConfig(nt=nt, n_stab=n_stab, delay_rank=delay)
-    return EngineConfig(nt=nt, n_stab=n_stab)
+        return EngineConfig(nt=nt, n_stab=n_stab, delay_rank=delay,
+                            wrap_precision=wrap_prec)
+    return EngineConfig(nt=nt, n_stab=n_stab, wrap_precision=wrap_prec)
 
 
 @dataclasses.dataclass

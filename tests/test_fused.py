@@ -142,7 +142,8 @@ def _sweep_fused_oracle(model, cfg, states, forward):
     blocks = range(n_stack) if forward else range(n_stack - 1, -1, -1)
     for i_stack in blocks:
         l0 = i_stack * n_stab
-        fb = fields[:, l0:l0 + n_stab]
+        fb = fields[:, l0:l0 + n_stab]          # python slice clamps the
+        n_blk = fb.shape[1]                     # ragged tail block
         G, fb, bbar, acc_b = _block_oracle(
             model, orders[l0:l0 + n_stab],
             props[:, l0:l0 + n_stab], us[:, l0:l0 + n_stab], G, fb, forward)
@@ -150,7 +151,7 @@ def _sweep_fused_oracle(model, cfg, states, forward):
         G, stack, log_det, err = jax.vmap(
             lambda g, s, b: _stabilize_one(g, s, b, i_stack, forward))(
                 G, stack, bbar)
-        acc = acc + acc_b * (n_stab / cfg.nt)
+        acc = acc + acc_b * (n_blk / cfg.nt)
     return dataclasses.replace(states, fields=fields, G=G, stack=stack,
                                log_det_M=log_det, key=new_key, acc_sum=acc)
 
@@ -191,4 +192,26 @@ def test_sweep_pair_fused_stays_stable():
 def test_supports_fused_gating():
     model, cfg, _ = _setup()
     assert supports_fused(model, cfg)
-    assert not supports_fused(model, EngineConfig(nt=13, n_stab=5))
+    # ragged nt % n_stab != 0 handled by a separately-compiled tail block
+    assert supports_fused(model, EngineConfig(nt=13, n_stab=5))
+
+
+def test_sweep_fused_ragged_matches_oracle():
+    """nt % n_stab != 0: the short tail block (dqmc.cpp:14-18) must realize
+    the identical chain in both sweep directions."""
+    model, cfg, states = _setup(nt=13, n_stab=5, seed=4)
+    got = sweep_fused(model, cfg, states, forward=True, interpret=True)
+    want = _sweep_fused_oracle(model, cfg, states, True)
+    np.testing.assert_array_equal(np.asarray(got.fields),
+                                  np.asarray(want.fields))
+    np.testing.assert_allclose(np.asarray(got.G), np.asarray(want.G),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.acc_sum),
+                               np.asarray(want.acc_sum), rtol=1e-12)
+
+    got_b = sweep_fused(model, cfg, got, forward=False, interpret=True)
+    want_b = _sweep_fused_oracle(model, cfg, want, False)
+    np.testing.assert_array_equal(np.asarray(got_b.fields),
+                                  np.asarray(want_b.fields))
+    np.testing.assert_allclose(np.asarray(got_b.G), np.asarray(want_b.G),
+                               atol=1e-11)

@@ -201,3 +201,34 @@ def test_jit_compiles():
     G, ld = f(M)
     G2, ld2 = inv_one_plus_ldr(to_ldr(M))
     np.testing.assert_allclose(np.asarray(G), np.asarray(G2), atol=1e-12)
+
+
+def test_inv_triplet_dag_matches_separate(rng):
+    """One-factorization triplet == the three separate dag inverses.
+
+    Builds a realistic propagator pair: F1 = B(tau,0) in normal form,
+    F2t = LDR of B(beta,tau)^T (the engine's transpose-suffix convention),
+    from random HS-diagonal B chains at beta=8."""
+    from dqmc_tpu.ops.linalg import (inv_invldr_plus_ldr_dag,
+                                     inv_one_plus_ldr_dag, inv_triplet_dag)
+
+    n, beta, nt, l_tau = 16, 8.0, 80, 30
+    K = random_K(rng, n=n)
+    Bs = b_matrices(rng, K, beta, nt)
+
+    F1 = identity_ldr(n)
+    for B in Bs[:l_tau]:                       # B(tau,0) normal form
+        F1 = mat_mul_ldr(jnp.asarray(B), F1)
+    F2t = identity_ldr(n)
+    for B in Bs[l_tau:][::-1]:                 # B(beta,tau)^T = prod B_l^T
+        F2t = mat_mul_ldr(jnp.asarray(B).T, F2t)
+
+    Gtt_s, ld_s = inv_one_plus_ldr_dag(F1, F2t)
+    Gt0_s = inv_invldr_plus_ldr_dag(F1, F2t)
+    G0t_s = -jnp.swapaxes(inv_invldr_plus_ldr_dag(F2t, F1), -1, -2)
+
+    Gtt, Gt0, G0t, ld = inv_triplet_dag(F1, F2t)
+    np.testing.assert_allclose(np.asarray(Gtt), np.asarray(Gtt_s), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Gt0), np.asarray(Gt0_s), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G0t), np.asarray(G0t_s), atol=1e-12)
+    np.testing.assert_allclose(float(ld), float(ld_s), rtol=1e-12)

@@ -233,3 +233,29 @@ def test_unequal_time_half_warp_parity():
     np.testing.assert_allclose(
         np.trace(np.asarray(half_warp(model, ys_raw.Gtt[0])[0])),
         np.trace(np.asarray(ys_raw.Gtt[0][0])), atol=1e-10)
+
+
+def test_iter_unequal_time_chunks_match_full():
+    """The chunked tau-streaming iterator must concatenate exactly to the
+    one-shot TauGreens stack (interacting chain, ragged chunk size)."""
+    from dqmc_tpu.engine.uneqtime import iter_unequal_time
+
+    lat = square_lattice(4, 4)
+    beta, nt = 4.0, 14
+    model = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=beta,
+                                    nt=nt)
+    cfg = EngineConfig(nt=nt, n_stab=7)
+    state = init_state(model, cfg, jax.random.PRNGKey(2))
+    state = sweep_pair(model, cfg, state)
+
+    full, _ = sweep_unequal_time(model, cfg, state, warp=True)
+    chunks = list(iter_unequal_time(model, cfg, state, tau_chunk=5,
+                                    warp=True))
+    assert [s for s, _ in chunks] == [0, 5, 10]
+    got = {
+        f: np.concatenate([np.asarray(getattr(ys, f)) for _, ys in chunks])
+        for f in ("Gtt", "Gt0", "G0t")
+    }
+    for f in ("Gtt", "Gt0", "G0t"):
+        assert got[f].shape[0] == nt + 1
+        np.testing.assert_array_equal(got[f], np.asarray(getattr(full, f)))
