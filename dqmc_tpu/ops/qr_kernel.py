@@ -29,9 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 32
+_GROUP = 8
 
 
-def _cgs2_kernel(n_panels, block, at_in_ref, qt_ref, rt_ref):
+def _cgs2_kernel(n_panels, block, group, at_in_ref, qt_ref, rt_ref):
     """In-place CGS2 on transposed matrices.
 
     at_in (B, n, n): rows are the columns of A (aliased with qt output).
@@ -67,34 +68,70 @@ def _cgs2_kernel(n_panels, block, at_in_ref, qt_ref, rt_ref):
             C = dot_bn(P, Qdone)                      # (B, block, p)
             qt_ref[:, p:p + block, :] = P - mat_bn(C, Qdone)
             rt_ref[:, p:p + block, 0:p] += C
-        # --- in-panel CGS2, sequential over the block's columns ---
+        # --- in-panel CGS2, sequential over GROUPS of columns ---
+        # The in-panel chain is ~1k latency-bound small MXU matmuls per
+        # factorization (4 per column); grouping batches the first
+        # projection pass of `group` columns into ONE matmul pair, cutting
+        # the chain to 2 + 2*group matmuls per group.  Each column still
+        # receives two COMPLETE projection passes in classical order: its
+        # pass-1 against in-group predecessors is finished by a batched
+        # rank-1 fixup the moment each predecessor is normalized, and its
+        # pass-2 rereads the panel (which already holds the finished
+        # in-group q's).  The R rows are still accumulated IN-KERNEL from
+        # the process coefficients — rebuilding R as triu(Q^T A) outside
+        # costs 2x chain accuracy (single-pass dots lose the small-d rows
+        # to cancellation; measured) — but into a (B, group, block) value
+        # flushed with one aligned multi-row store per group.
 
-        def col(j, _):
-            P = qt_ref[:, p:p + block, :]             # (B, block, n)
-            y = qt_ref[:, pl.ds(p + j, 1), :]         # (B, 1, n)
-            mask = (row_ids < j).astype(dtype)        # (1, block)
-            onehot_j = (row_ids == j).astype(dtype)
+        def col_group(jg, _):
+            j = group * jg                            # 8-aligned: Mosaic
+            P = qt_ref[:, p:p + block, :]             # needs provable
+            Y = qt_ref[:, pl.ds(p + j, group), :]     # sublane alignment
+            maskj = (row_ids < j).astype(dtype)[:, None, :]  # (1, 1, block)
 
-            def widen(c):
-                # place the block's coefficients at lanes [p, p+block);
-                # Mosaic requires dynamic-sublane RMWs to start at lane 0,
-                # so accumulate a full (1, n) row (p is a Python constant)
-                return jnp.pad(c, ((0, 0), (p, n - p - block)))[:, None, :]
+            # batched pass 1 of the whole group against columns < j
+            c1 = dot_bn(Y, P) * maskj                 # (B, group, block)
+            Y = Y - mat_bn(c1, P)
+            rg = c1                                   # group's R rows
 
-            c1 = dot_bn(y, P).reshape(B, block) * mask
-            y = y - mat_bn(c1[:, None, :], P)
-            c2 = dot_bn(y, P).reshape(B, block) * mask
-            y = y - mat_bn(c2[:, None, :], P)
-            nrm = jnp.sqrt(jnp.sum(y * y, axis=2))            # (B, 1)
-            # panel lanes of this RT row are zero before this single
-            # accumulate, so summing c1+c2 in registers is bit-identical
-            # to two separate read-modify-writes
-            rt_ref[:, pl.ds(p + j, 1), :] += widen(c1 + c2 + nrm * onehot_j)
-            safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
-            qt_ref[:, pl.ds(p + j, 1), :] = y / safe[:, :, None]
+            for t in range(group):
+                grow = (jax.lax.broadcasted_iota(     # row t of the group
+                    jnp.int32, (1, group, 1), 1) == t).astype(dtype)
+                y = Y[:, t:t + 1, :]
+                # pass 2 against ALL previous columns: the panel reread
+                # includes the in-group q's written in earlier t-steps
+                P2 = qt_ref[:, p:p + block, :]
+                mask2 = (row_ids < j + t).astype(dtype)       # (1, block)
+                onehot_t = (row_ids == j + t).astype(dtype)
+                c2 = dot_bn(y, P2).reshape(B, block) * mask2
+                y = y - mat_bn(c2[:, None, :], P2)
+                nrm = jnp.sqrt(jnp.sum(y * y, axis=2))        # (B, 1)
+                safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+                q = y / safe[:, :, None]
+                qt_ref[:, pl.ds(p + j + t, 1), :] = q
+                rg = rg + (c2 + nrm * onehot_t)[:, None, :] * grow
+                if t < group - 1:
+                    # complete pass 1 of the remaining in-group columns
+                    # against the fresh q (batched rank-1).  Computed for
+                    # the whole group and masked to rows > t — Mosaic has
+                    # no scatter, and the wasted rows are never read again
+                    later = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, group, 1), 1) > t).astype(dtype)
+                    s = jnp.sum(Y * q, axis=2, keepdims=True) * later
+                    Y = Y - s * q
+                    s2 = jnp.sum(Y * q, axis=2, keepdims=True) * later
+                    Y = Y - s2 * q
+                    s = s + s2
+                    rg = rg + s * onehot_t[None]      # pass-1 coefficients
+
+            # place the group's R rows at lanes [p, p+block) and store with
+            # one aligned multi-row accumulate (rows are zero beforehand)
+            rt_ref[:, pl.ds(p + j, group), :] += jnp.pad(
+                rg, ((0, 0), (0, 0), (p, n - p - block)))
             return jnp.int32(0)  # i32 carry: i64 does not lower in Mosaic
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(block), col, jnp.int32(0))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(block // group), col_group,
+                          jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -102,7 +139,7 @@ def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
     """(Q, R) for a flat batch A (B, n, n); n must be a multiple of 32."""
     B, n, _ = A.shape
     dtype = A.dtype
-    kern = functools.partial(_cgs2_kernel, n // _BLOCK, _BLOCK)
+    kern = functools.partial(_cgs2_kernel, n // _BLOCK, _BLOCK, _GROUP)
     AT = jnp.swapaxes(A, -1, -2)
     # VMEM: ~4 (n, n_pad)-sized buffers per matrix (QT aliasing the input,
     # RT, their pipeline double-buffers) plus panel temporaries; v5e VMEM
