@@ -176,11 +176,15 @@ def _uneq_step(model, cfg, state, emit, eyeB):
         Gtt, Gt0, G0t, Bt0, Bbar, emax = carry
         l, i_stack, do_stab = x
         fields_l = jnp.take(state.fields, l, axis=0)
-        Gtt = apply_invB_right(model, fields_l,
-                               apply_B_left(model, fields_l, Gtt))
-        Gt0 = apply_B_left(model, fields_l, Gt0)
-        G0t = apply_invB_right(model, fields_l, G0t)
-        Bbar = apply_B_left(model, fields_l, Bbar)
+        # batch the slice's five B-applications into two stacked GEMMs
+        # (dqmc.cpp:223-246 does them one by one): B @ [Gtt, Gt0, Bbar]
+        # left, then [B Gtt, G0t] @ B^{-1} right — same math, 2 MXU
+        # dispatches per slice instead of 5 and expV built twice not five
+        # times
+        BL = apply_B_left(model, fields_l, jnp.stack([Gtt, Gt0, Bbar]))
+        Gt0, Bbar = BL[1], BL[2]
+        BR = apply_invB_right(model, fields_l, jnp.stack([BL[0], G0t]))
+        Gtt, G0t = BR[0], BR[1]
 
         def stab(args):
             Gtt, Gt0, G0t, Bt0, Bbar = args
