@@ -62,3 +62,15 @@ def load_checkpoint(path: str | os.PathLike, template) -> Tuple[Any, Dict[str, A
                     f"for this run?")
             loaded.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, loaded), meta
+
+
+def peek_meta(path: str | os.PathLike) -> Dict[str, Any]:
+    """Read only the metadata dict of a checkpoint (cheap: no leaf loads).
+
+    Needed before state construction when metadata determines array
+    shapes — e.g. the auto-adapted n_stab sets the LDR stack's slot
+    count, so run.py must know it before init_state."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+    meta.pop("treedef", None)
+    return meta

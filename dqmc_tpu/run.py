@@ -53,20 +53,38 @@ def _resolve_dtype(params: Parameters):
     if name in ("float32", "f32"):
         return jnp.float32
     if name in ("float64", "f64"):
-        if jax.default_backend() == "cpu":
-            jax.config.update("jax_enable_x64", True)
+        # x64 must be on for EVERY backend: on TPU f64 runs emulated
+        # (slow but correct, the parity-grade mode); without the flag the
+        # arrays silently truncate to f32 and the run is NOT f64
+        jax.config.update("jax_enable_x64", True)
         return jnp.float64
     return default_dtype()
 
 
-def make_engine_config(params: Parameters, model) -> EngineConfig:
+def _parse_n_stab(params: Parameters):
+    """(start_value, auto_flag) for [simulation] n_stab.
+
+    `n_stab = auto` turns on driver-level adaptation (see run_simulation):
+    the stabilization interval is tuned during thermalization to the
+    loosest value whose steady-state naive-vs-stabilized error stays below
+    the warn threshold — the automated version of the reference's "Reduce
+    n_stab or increase nt" advice (dqmc.cpp:390-393)."""
+    raw = params.get_str("simulation", "n_stab").strip().lower()
+    if raw == "auto":
+        return params.get_int("simulation", "n_stab_start", 5), True
+    return params.get_int("simulation", "n_stab"), False
+
+
+def make_engine_config(params: Parameters, model,
+                       n_stab: Optional[int] = None) -> EngineConfig:
     """EngineConfig from the [simulation] section.
 
     Site-update implementation: 'pallas' (default on accelerators for
     single-flavor models), 'scan', or 'delayed' (with delay_rank).
     """
     nt = params.get_int("simulation", "nt")
-    n_stab = params.get_int("simulation", "n_stab")
+    if n_stab is None:
+        n_stab = _parse_n_stab(params)[0]
     default_impl = ("pallas" if jax.default_backend() != "cpu"
                     and model.n_flavor == 1 and model.det_power == 2
                     else "scan")
@@ -95,6 +113,7 @@ class RunSummary:
     mean_precision_error: float
     therm_max_precision_error: float = float("nan")
     exchange_rate: Optional[float] = None
+    n_stab: int = 0                # final (possibly auto-adapted) value
 
 
 def _maybe_init_distributed(params: Parameters) -> None:
@@ -187,7 +206,7 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     n_therms = params.get_int("simulation", "n_therms")
     n_bins = params.get_int("simulation", "n_bins")
     nt = params.get_int("simulation", "nt")
-    n_stab = params.get_int("simulation", "n_stab")
+    n_stab, n_stab_auto = _parse_n_stab(params)
     symmetric = params.get_bool("simulation", "symmetric", False)
     uneq = params.get_bool("simulation", "isMeasureUnequalTime", False)
     seed = params.get_int("simulation", "seed", 42)
@@ -202,7 +221,15 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     model_name = params.get_str("hubbard", "model", "attractive")
     model_cls = MODEL_REGISTRY[model_name]
     model = model_cls.from_params(params, lat, dtype=dtype)
-    cfg = make_engine_config(params, model)
+    # adaptive n_stab + resume: the stack shape depends on n_stab, so the
+    # adapted value must be known before states are built
+    ckpt_every = params.get_int("simulation", "checkpoint_every", 0)
+    ckpt_path = params.get_str("simulation", "checkpoint_path",
+                               os.path.join(out_dir, "checkpoint.npz"))
+    if n_stab_auto and ckpt_every > 0 and os.path.exists(ckpt_path):
+        from dqmc_tpu.io.checkpoint import peek_meta
+        n_stab = int(peek_meta(ckpt_path).get("n_stab", n_stab))
+    cfg = make_engine_config(params, model, n_stab=n_stab)
     log(f"Standard DQMC run: {lat.L1}x{lat.L2} lattice, beta={float(model.beta)}, "
         f"nt={nt}, {n_walkers} walkers, dtype={dtype.__name__}, "
         f"backend={jax.default_backend()}")
@@ -211,9 +238,6 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     states = jax.vmap(lambda k: init_state(model, cfg, k))(keys)
 
     # --- checkpoint / resume (absent in the reference; SURVEY.md section 5)
-    ckpt_every = params.get_int("simulation", "checkpoint_every", 0)
-    ckpt_path = params.get_str("simulation", "checkpoint_path",
-                               os.path.join(out_dir, "checkpoint.npz"))
     start_bin = 0
     start_therm = 0
     therm_done = False
@@ -267,15 +291,13 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         use_fused = False
     if use_fused:
         log("Engine: fused block kernel (propagate+update in VMEM)")
-        step = jax.jit(lambda s: sweep_pair_fused(model, cfg, s))
-    else:
-        step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
-    uneq_fn = manager.uneq_measure_fn
-    # symmetric=true warps the tau-resolved Green's functions too
-    # (dqmc.cpp:300-312)
-    uneq_step = jax.jit(jax.vmap(
-        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn,
-                                     warp=symmetric)))
+
+    def build_step(c: EngineConfig):
+        if use_fused:
+            return jax.jit(lambda s: sweep_pair_fused(model, c, s))
+        return jax.jit(jax.vmap(lambda s: sweep_pair(model, c, s)))
+
+    step = build_step(cfg)
     warp = jax.jit(jax.vmap(lambda G: half_warp(model, G)))
 
     def checkpoint(therm_flag: bool, therm_sweep: int = 0):
@@ -285,8 +307,46 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         jax.block_until_ready(states.G)
         save_checkpoint(ckpt_path, states,
                         {"bin": manager.current_bin, "therm_done": therm_flag,
-                         "therm_sweep": therm_sweep,
+                         "therm_sweep": therm_sweep, "n_stab": cfg.n_stab,
                          "seed": seed, "n_walkers": n_walkers})
+
+    # n_stab = auto: tune the stabilization interval during thermalization
+    # to the loosest value whose steady-state chunk error stays below the
+    # warn threshold (with /16 hysteresis against oscillation).  A change
+    # rebuilds the LDR stack and G from the fields (the Markov chain —
+    # fields, RNG keys, signs — is untouched) and re-jits the sweep.
+    adapt_marks = ()
+    if n_stab_auto and not therm_done and n_therms - start_therm >= 4:
+        k = min(8, (n_therms - start_therm) // 2)
+        adapt_marks = sorted({start_therm + (i + 1)
+                              * (n_therms - start_therm) // k
+                              for i in range(k - 1)})
+    n_stab_cap = min(cfg.nt, 32)
+
+    def adapt(states, cfg, step):
+        stats = global_stats(states)
+        err_mean = (stats["err_sum"] / stats["err_count"]
+                    if stats["err_count"] else 0.0)
+        new = cfg.n_stab
+        if err_mean > err_warn and cfg.n_stab > 1:
+            new = cfg.n_stab - 1
+        elif err_mean < err_warn / 16 and cfg.n_stab < n_stab_cap:
+            new = cfg.n_stab + 1
+        states = jax.jit(jax.vmap(reset_error_stats))(states)
+        if new == cfg.n_stab:
+            return states, cfg, step
+        cfg = dataclasses.replace(cfg, n_stab=new)
+        log(f"n_stab auto: chunk err_mean {err_mean:.2e} "
+            f"(warn {err_warn:.0e}) -> n_stab = {new}")
+        from dqmc_tpu.engine.sweep import rebuild_stack_and_greens
+
+        @jax.jit
+        @jax.vmap
+        def reseat(s):
+            stack, G, log_det = rebuild_stack_and_greens(model, cfg, s.fields)
+            return dataclasses.replace(s, G=G, stack=stack, log_det_M=log_det)
+
+        return reseat(states), cfg, build_step(cfg)
 
     # thermalization (main.cpp:129-137); checkpointed mid-phase every
     # ckpt_every * n_sweeps sweep-pairs so a preempted long thermalization
@@ -296,13 +356,24 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         ckpt_stride = ckpt_every * max(n_sweeps, 1)
         for it in range(start_therm, n_therms):
             states = step(states)
+            if (it + 1) in adapt_marks:
+                states, cfg, step = adapt(states, cfg, step)
             if ckpt_every > 0 and (it + 1) % ckpt_stride == 0 \
                     and (it + 1) < n_therms:
                 checkpoint(False, therm_sweep=it + 1)
         jax.block_until_ready(states.G)
         checkpoint(True)
     dt_therm = time.perf_counter() - t0
-    log(f"Thermalization done in {dt_therm:.2f} seconds")
+    log(f"Thermalization done in {dt_therm:.2f} seconds"
+        + (f" (auto n_stab = {cfg.n_stab})" if n_stab_auto else ""))
+
+    uneq_fn = manager.uneq_measure_fn
+    # symmetric=true warps the tau-resolved Green's functions too
+    # (dqmc.cpp:300-312).  Built after thermalization: n_stab may have
+    # adapted, and the measurement phase uses the settled schedule.
+    uneq_step = jax.jit(jax.vmap(
+        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn,
+                                     warp=symmetric)))
 
     # split precision stats: the random-field transient is reported once,
     # then reset so the summary's max/mean reflect the measured phase
@@ -373,7 +444,7 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         therm_seconds=dt_therm, measure_seconds=dt_meas,
         sweeps_per_sec=sweeps_per_sec, acc_rate=acc,
         max_precision_error=err_max, mean_precision_error=err_mean,
-        therm_max_precision_error=therm_err_max)
+        therm_max_precision_error=therm_err_max, n_stab=cfg.n_stab)
 
 
 def main(argv=None):

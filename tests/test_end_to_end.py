@@ -125,3 +125,68 @@ def test_reference_analysis_reads_our_output_identically(run_dir):
         ours_text = (ours / f).read_text()
         ref_text = (ref / f).read_text()
         assert ours_text == ref_text, f"analysis output differs: {f}"
+
+
+def _auto_params(err_warn: str, n_therms: int = 12, n_stab_start: int = 3,
+                 extra_sim: str = ""):
+    return f"""
+[Lattice]
+L1 = 4
+L2 = 4
+[hubbard]
+U = 4.0
+t = 1.0
+mu = 0.0
+[simulation]
+beta = 2.0
+nt = 12
+n_therms = {n_therms}
+n_sweeps = 2
+n_bins = 1
+n_stab = auto
+n_stab_start = {n_stab_start}
+err_warn_threshold = {err_warn}
+seed = 3
+dtype = float64
+{extra_sim}
+[walkers]
+n_walkers = 1
+"""
+
+
+def test_auto_n_stab_loosens_when_error_is_tiny(tmp_path):
+    """f64 at beta=2 has chunk errors ~1e-12 << any sane threshold, so the
+    adaptive schedule must LOOSEN the stabilization interval (the automated
+    form of dqmc.cpp:390's advice, in the profitable direction)."""
+    text = _auto_params(err_warn="1e-6")
+    params = Parameters.from_string(text)
+    summary = run_simulation(params, out_dir=str(tmp_path / "results"),
+                             verbose=False)
+    assert summary.n_stab > 3
+    # the run stays healthy on the loosened schedule
+    assert summary.max_precision_error < 1e-6
+
+
+def test_auto_n_stab_tightens_under_pressure(tmp_path):
+    """With an absurdly tight threshold every chunk violates it, so the
+    schedule must walk down to the floor of 1."""
+    text = _auto_params(err_warn="1e-18")
+    params = Parameters.from_string(text)
+    summary = run_simulation(params, out_dir=str(tmp_path / "results"),
+                             verbose=False)
+    assert summary.n_stab == 1
+
+
+def test_auto_n_stab_resumes_with_adapted_value(tmp_path):
+    """A checkpointed auto-n_stab run must resume with the ADAPTED value
+    (the stack shape depends on it), not the start value."""
+    text = _auto_params(err_warn="1e-6", extra_sim="checkpoint_every = 1")
+    params = Parameters.from_string(text)
+    out = str(tmp_path / "results")
+    s1 = run_simulation(params, out_dir=out, verbose=False)
+    assert s1.n_stab > 3
+    # rerun: resumes from the completed-run checkpoint with adapted n_stab
+    # (and must NOT re-thermalize: therm phase is recorded done)
+    s2 = run_simulation(params, out_dir=out, verbose=False)
+    assert s2.n_stab == s1.n_stab
+    assert s2.therm_seconds < s1.therm_seconds / 2
