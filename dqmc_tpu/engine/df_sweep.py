@@ -1,0 +1,358 @@
+"""Hybrid df32 parity sweep engine: f32 updates, df32 stabilization.
+
+The parity-grade production mode (NOTES.md roadmap).  Design: the
+Metropolis site loop and the slice-to-slice wraps stay on the fast f32
+path (identical kernels to engine/sweep.py — Pallas site updates,
+delayed rank-k, f32 GEMMs), while everything whose error ACCUMULATES
+across the sweep — the propagator block products, the LDR stack folds,
+and the stabilized inverses — is carried in df32 (double-float32,
+ops/df32 + ops/df_linalg, ~2^-46 from pure f32 TPU ops).
+
+Why this split is sound: between two stabilizations the f32 G drifts by
+at most ~1e-6 (a few hundred rank-1 updates + 2*n_stab GEMM wraps of
+rounding), which only perturbs ACCEPTANCE ratios — a bias of the same
+order as the reference tolerates in f64 (its own naive-vs-stable warning
+fires at 1e-6, dqmc.cpp:390).  At every stabilization G is REPLACED by
+the df rebuild, so the drift never compounds; the Green's function used
+for measurements carries df accuracy (~1e-8 at beta=8 vs the f64 chain,
+tests/test_df_linalg.py) for the exact field configuration being
+measured.  The f64-emulation mode remains for strict 1e-10 work at ~26x
+the matmul cost; this mode replaces it wherever ~1e-8 suffices.
+
+Mirrors the sweep structure of engine/sweep.py (dqmc.cpp:337-456); see
+there for the identity-padded stack and transpose-suffix conventions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu import hsfield
+from dqmc_tpu.engine.state import EngineConfig
+from dqmc_tpu.engine.sweep import (
+    draw_slice_randoms,
+    local_update_slice,
+    local_update_slice_delayed,
+)
+from dqmc_tpu.models.kinetic import (
+    apply_B_left,
+    apply_B_right,
+    apply_invB_left,
+    apply_invB_right,
+)
+from dqmc_tpu.ops import df32, df_linalg
+from dqmc_tpu.ops.df32 import DF
+from dqmc_tpu.ops.df_linalg import LDRdf
+
+# flavor-batched df LDR ops (leading (nfl,) axis)
+_to_ldr_df = jax.vmap(df_linalg.to_ldr)
+_mat_mul_ldr_df = jax.vmap(df_linalg.mat_mul_ldr)
+_inv_pair_df = jax.vmap(df_linalg.inv_one_plus_ldr_dag)
+
+
+# ----------------------------------------------------------------------
+# df model data: the exact propagator pieces at df precision
+# ----------------------------------------------------------------------
+
+class DFModelAux(NamedTuple):
+    """df32 twins of the propagator constants.
+
+    expK: (ns, ns) df pair of expm(-dtau K), split from the f64 build
+    (scipy expm carries full f64 precision; model.cpp:31-35).
+    expv: (nfl, 4) df pair table exp(g * eta(s)) per stored flavor.
+    """
+    expK: DF
+    expv: DF
+
+
+def _aux_from_np(expK64: np.ndarray, g64: float) -> DFModelAux:
+    eta = np.asarray(hsfield.ETA, np.float64)
+    tbl = np.exp(g64 * eta)[None, :]                    # (nfl=1, 4)
+    th = np.float32(tbl)
+    tl = np.float32(tbl - np.float64(th))
+    kh = np.float32(expK64)
+    kl = np.float32(expK64 - np.float64(kh))
+    return DFModelAux(expK=DF(jnp.asarray(kh), jnp.asarray(kl)),
+                      expv=DF(jnp.asarray(th), jnp.asarray(tl)))
+
+
+def df_aux_build(lat, *, U: float, t: float, mu: float, beta: float,
+                 nt: int, bonds=None) -> DFModelAux:
+    """Build the df32 propagator constants host-side in full f64.
+
+    Independent of ``jax_enable_x64`` (an f64-built *model* only exists
+    in x64 sessions): recomputes expm(-dtau K) with scipy exactly like
+    AttractiveHubbard.build (model.cpp:31-35) and splits it into df pairs
+    before anything touches the device."""
+    import scipy.linalg
+    from dqmc_tpu.models.attractive_hubbard import build_kinetic_matrix
+    dtau = beta / nt
+    K = build_kinetic_matrix(lat, t, mu, bonds=bonds)
+    expK64 = scipy.linalg.expm(-dtau * K)
+    g64 = float(np.sqrt(0.5 * abs(U) * dtau))
+    return _aux_from_np(expK64, g64)
+
+
+def df_aux_from(model64) -> DFModelAux:
+    """df32 propagator constants from an f64-built model twin (x64 only)."""
+    if model64.expK.dtype != jnp.float64:
+        raise ValueError("df_aux_from needs the f64-built model twin "
+                         "(build with dtype=jnp.float64; requires "
+                         "jax_enable_x64 — use df_aux_build otherwise)")
+    if model64.n_flavor != 1:
+        raise NotImplementedError("df sweep engine: single-flavor models "
+                                  "only (the flagship attractive Hubbard)")
+    return _aux_from_np(np.asarray(model64.expK, np.float64),
+                        float(np.asarray(model64.g, np.float64)))
+
+
+def cast_model_f32(model64):
+    """The f32 working twin of an f64-built model (same build, f32 leaves).
+
+    Equivalent to AttractiveHubbard.build(..., dtype=jnp.float32): the
+    f32 engine path (wraps, kernels, update factors) runs on this."""
+    def cast(x):
+        if isinstance(x, jax.Array) and x.dtype == jnp.float64:
+            return x.astype(jnp.float32)
+        return x
+    leaves, treedef = jax.tree_util.tree_flatten(model64)
+    return jax.tree_util.tree_unflatten(treedef, [cast(l) for l in leaves])
+
+
+def _slice_B_df(aux: DFModelAux, fields_l: jax.Array) -> DF:
+    """(nfl, ns, ns) df B_l = diag(expv[s_l]) @ expK.
+
+    Full df multiply (a bare hi*hi product would cap B at 2^-24
+    relative); select-chain over the 4 field states, not a gather."""
+    nfl = aux.expv.hi.shape[0]
+    ns = fields_l.shape[-1]
+    evh = jnp.zeros((nfl, ns), jnp.float32)
+    evl = jnp.zeros((nfl, ns), jnp.float32)
+    for v in range(4):
+        m = (fields_l == v)[None, :]
+        evh = jnp.where(m, aux.expv.hi[:, v:v + 1], evh)
+        evl = jnp.where(m, aux.expv.lo[:, v:v + 1], evl)
+    ev = DF(evh[..., :, None], evl[..., :, None])        # (nfl, ns, 1)
+    return df32.mul(DF(aux.expK.hi[None], aux.expK.lo[None]), ev)
+
+
+# ----------------------------------------------------------------------
+# df stack (identity-padded, transpose-suffix — see engine/sweep.py)
+# ----------------------------------------------------------------------
+
+def slot_get_df(stack: LDRdf, i) -> LDRdf:
+    return jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, axis=1, keepdims=False),
+        stack)
+
+
+def slot_set_df(stack: LDRdf, i, F: LDRdf) -> LDRdf:
+    return jax.tree.map(
+        lambda x, v: jax.lax.dynamic_update_index_in_dim(x, v, i, axis=1),
+        stack, F)
+
+
+def identity_stack_df(nfl: int, n_slots: int, ns: int) -> LDRdf:
+    eye = jnp.tile(jnp.eye(ns, dtype=jnp.float32), (nfl, n_slots, 1, 1))
+    z_m = jnp.zeros_like(eye)
+    ones = jnp.ones((nfl, n_slots, ns), jnp.float32)
+    z_v = jnp.zeros_like(ones)
+    return LDRdf(DF(eye, z_m), DF(ones, z_v), DF(eye, z_m))
+
+
+def _eye_df(nfl: int, ns: int) -> DF:
+    eye = jnp.tile(jnp.eye(ns, dtype=jnp.float32), (nfl, 1, 1))
+    return DF(eye, jnp.zeros_like(eye))
+
+
+def _transpose_df(x: DF) -> DF:
+    return DF(jnp.swapaxes(x.hi, -1, -2), jnp.swapaxes(x.lo, -1, -2))
+
+
+# ----------------------------------------------------------------------
+# state
+# ----------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DFWalkerState:
+    """Markov-chain state of the hybrid parity engine.
+
+    G is the f32 WORKING Green's function (what the site loop reads);
+    G_df is its df32 twin, refreshed at every stabilization — parity-grade
+    for the current fields, and what measurements should consume.
+    """
+    fields: jax.Array
+    G: jax.Array
+    G_df: DF
+    stack: LDRdf
+    log_det_M: jax.Array
+    key: jax.Array
+    acc_sum: jax.Array
+    sign: jax.Array
+    err_max: jax.Array
+    err_sum: jax.Array
+    err_count: jax.Array
+
+
+# ----------------------------------------------------------------------
+# stack rebuild (dqmc.cpp:43-72 in df)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def rebuild_stack_df(aux: DFModelAux, cfg: EngineConfig, fields: jax.Array):
+    """Full right-to-left df stack + G_df(0,0) + log_det from the fields."""
+    nfl = aux.expv.hi.shape[0]
+    ns = aux.expK.hi.shape[-1]
+    stack = identity_stack_df(nfl, cfg.n_slots, ns)
+    eyeB = _eye_df(nfl, ns)
+
+    ls, i_stacks, do_stabs = cfg.slice_schedule(forward=False)
+    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
+
+    def step(carry, x):
+        stack, Bbar = carry
+        l, i_stack, do_stab = x
+        B = _slice_B_df(aux, jnp.take(fields, l, axis=0))
+        Bbar = df32.matmul(Bbar, B)          # right-to-left: Bbar @ B_l
+
+        def fold(args):
+            stack, Bbar = args
+            T = _mat_mul_ldr_df(_transpose_df(Bbar),
+                                slot_get_df(stack, i_stack + 2))
+            return slot_set_df(stack, i_stack + 1, T), eyeB
+
+        stack, Bbar = jax.lax.cond(do_stab, fold, lambda a: a, (stack, Bbar))
+        return (stack, Bbar), None
+
+    (stack, _), _ = jax.lax.scan(step, (stack, eyeB), xs)
+    G_df, log_det = _inv_pair_df(slot_get_df(stack, 0), slot_get_df(stack, 1))
+    return stack, G_df, log_det
+
+
+def init_state_df(model32, aux: DFModelAux, cfg: EngineConfig,
+                  key: jax.Array) -> DFWalkerState:
+    """Fresh walker: random HS field, df stack + G from it."""
+    kf, kchain = jax.random.split(key)
+    fields = hsfield.init_fields(kf, cfg.nt, model32.n_sites)
+    stack, G_df, log_det = rebuild_stack_df(aux, cfg, fields)
+    z = jnp.zeros((), jnp.float32)
+    return DFWalkerState(
+        fields=fields, G=G_df.hi, G_df=G_df, stack=stack,
+        log_det_M=log_det, key=kchain, acc_sum=z,
+        sign=jnp.ones((), jnp.float32), err_max=z, err_sum=z, err_count=z,
+    )
+
+
+# ----------------------------------------------------------------------
+# the sweep
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "forward", "update"))
+def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
+             state: DFWalkerState, *, forward: bool = True,
+             update: bool = True) -> DFWalkerState:
+    """One Monte-Carlo sweep: f32 wraps + site updates, df stabilization.
+
+    Structure identical to engine.sweep.sweep (dqmc.cpp:337-456); the
+    df block product rides the scan carry alongside the f32 state, and
+    stabilizations replace G with the df rebuild."""
+    nfl, ns = model32.n_flavor, model32.n_sites
+    eyeB = _eye_df(nfl, ns)
+
+    ls, i_stacks, do_stabs = cfg.slice_schedule(forward)
+    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
+
+    def stabilize(stack, Bbar, i_stack):
+        if forward:
+            F_new = _mat_mul_ldr_df(Bbar, slot_get_df(stack, i_stack))
+            stack = slot_set_df(stack, i_stack + 1, F_new)
+            G_df, log_det = _inv_pair_df(F_new,
+                                         slot_get_df(stack, i_stack + 2))
+        else:
+            T_new = _mat_mul_ldr_df(_transpose_df(Bbar),
+                                    slot_get_df(stack, i_stack + 2))
+            stack = slot_set_df(stack, i_stack + 1, T_new)
+            G_df, log_det = _inv_pair_df(slot_get_df(stack, i_stack), T_new)
+        return G_df, stack, log_det
+
+    def slice_step(carry, x):
+        (fields, G, G_df, stack, log_det_M, Bbar, key, acc, sign, emax,
+         esum, ecnt) = carry
+        l, i_stack, do_stab = x
+        fields_l = jnp.take(fields, l, axis=0)
+
+        if forward:
+            G = apply_invB_right(model32, fields_l,
+                                 apply_B_left(model32, fields_l, G))
+
+        if update:
+            key, k_slice = jax.random.split(key)
+            if cfg.use_pallas:
+                if model32.n_flavor != 1 or model32.det_power != 2:
+                    raise NotImplementedError(
+                        "pallas site-update kernel: single-flavor only")
+                from dqmc_tpu.ops.kernels import pallas_site_update
+                G, fields_l, acc_l = pallas_site_update(
+                    model32, k_slice, G, fields_l)
+            elif cfg.delay_rank > 0:
+                G, fields_l, acc_l, sgn_l = local_update_slice_delayed(
+                    model32, k_slice, G, fields_l, cfg.delay_rank)
+                sign = sign * sgn_l
+            else:
+                G, fields_l, acc_l, sgn_l = local_update_slice(
+                    model32, k_slice, G, fields_l)
+                sign = sign * sgn_l
+            acc = acc + acc_l / cfg.nt
+            fields = fields.at[l].set(fields_l)
+
+        B_df = _slice_B_df(aux, fields_l)
+        if forward:
+            Bbar = df32.matmul(B_df, Bbar)
+        else:
+            G = apply_B_right(model32, fields_l,
+                              apply_invB_left(model32, fields_l, G))
+            Bbar = df32.matmul(Bbar, B_df)
+
+        def stab_branch(args):
+            G, G_df, stack, log_det_M, Bbar = args
+            G_new_df, stack, log_det = stabilize(stack, Bbar, i_stack)
+            err = jnp.max(jnp.abs(G - G_new_df.hi))
+            return G_new_df.hi, G_new_df, stack, log_det, eyeB, err
+
+        def no_stab(args):
+            G, G_df, stack, log_det_M, Bbar = args
+            return G, G_df, stack, log_det_M, Bbar, jnp.zeros((), jnp.float32)
+
+        G, G_df, stack, log_det_M, Bbar, err = jax.lax.cond(
+            do_stab, stab_branch, no_stab, (G, G_df, stack, log_det_M, Bbar))
+        emax = jnp.maximum(emax, err)
+        esum = esum + err
+        ecnt = ecnt + do_stab.astype(jnp.float32)
+        carry = (fields, G, G_df, stack, log_det_M, Bbar, key, acc, sign,
+                 emax, esum, ecnt)
+        return carry, None
+
+    carry = (state.fields, state.G, state.G_df, state.stack,
+             state.log_det_M, eyeB, state.key, state.acc_sum, state.sign,
+             state.err_max, state.err_sum, state.err_count)
+    carry, _ = jax.lax.scan(slice_step, carry, xs)
+    (fields, G, G_df, stack, log_det_M, _, key, acc, sign, emax, esum,
+     ecnt) = carry
+    return dataclasses.replace(
+        state, fields=fields, G=G, G_df=G_df, stack=stack,
+        log_det_M=log_det_M, key=key, acc_sum=acc, sign=sign, err_max=emax,
+        err_sum=esum, err_count=ecnt)
+
+
+def df_sweep_pair(model32, aux: DFModelAux, cfg: EngineConfig,
+                  state: DFWalkerState) -> DFWalkerState:
+    """Forward + backward sweep (main.cpp:156-157)."""
+    state = df_sweep(model32, aux, cfg, state, forward=True)
+    return df_sweep(model32, aux, cfg, state, forward=False)

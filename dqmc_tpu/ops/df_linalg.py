@@ -1,0 +1,225 @@
+"""Stabilized LDR algebra in df32 (double-float32) precision.
+
+The parity-grade numerical core: the same presorted-QR LDR scheme as
+ops/linalg.py (reference: stablelinalg.cpp:35-190) carried at ~2^-46
+precision on f32 TPU hardware.  The factorization is the genuine df
+CGS2 of ops/df_qr.py (see there for why f32-QR-plus-refinement cannot
+work on graded folds); everything around it is df32 matmuls (exact
+int8-plane MXU products) and df elementwise algebra.
+
+Solves against the equilibrated middle matrices M use the FAST f32
+factorization plus df iterative refinement: M's condition is bounded
+(~4e4 at beta=8, measured), so each IR step gains a factor
+~eps32 * cond(M) and three steps land at the df factor floor.  (The
+round-2 "iterative refinement is useless" finding applied to
+f32-REPRESENTED inputs; df inputs are exactly what IR needs.)
+
+Accuracy tier (measured on the beta=8 fixed-field chain rebuild,
+tests/test_df_linalg.py): max|dG| ~ 1e-8 vs the f64 stabilized chain —
+per-fold floor eps_df * cond(equilibrated fold input) accumulated over
+the stack.  That is ~6 orders below the f32 engine at the same beta and
+2 below the reference's own 1e-6 stabilization warning (dqmc.cpp:390);
+strict 1e-10 reference parity remains the f64 mode's domain
+(tests/test_trajectory_golden.py).
+
+Compilation caveat: on XLA:CPU, whole-graph compilation at backend
+optimization level > 0 corrupts fused df chains (1.1e-8 -> 5.4e-4 on
+the chain rebuild, measured; LLVM-level contraction across the
+error-free transformations).  TPU compiles the same graphs bit-stably.
+CPU callers should run these functions eagerly (see
+engine/parity._maybe_jit) or set --xla_backend_optimization_level=0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqmc_tpu.ops import df32
+from dqmc_tpu.ops.df32 import DF
+from dqmc_tpu.ops.df_qr import df_qr
+
+
+class LDRdf(NamedTuple):
+    """M = L * diag(d) * R at df32 precision.
+
+    d is stored as a df pair of the SCALES (not logs): per-factor scales
+    stay within f32 range by construction (folds re-equilibrate every
+    n_stab slices; the accumulated ladder lives across factors).
+    """
+    L: DF
+    d: DF
+    R: DF
+
+    @property
+    def n(self):
+        return self.L.hi.shape[-1]
+
+
+def transpose(x: DF) -> DF:
+    return DF(jnp.swapaxes(x.hi, -1, -2), jnp.swapaxes(x.lo, -1, -2))
+
+
+def _diag(x: DF) -> DF:
+    return DF(jnp.diagonal(x.hi, axis1=-2, axis2=-1),
+              jnp.diagonal(x.lo, axis1=-2, axis2=-1))
+
+
+def _bcast_row(v: DF, shape) -> DF:
+    return DF(jnp.broadcast_to(v.hi[..., None, :], shape),
+              jnp.broadcast_to(v.lo[..., None, :], shape))
+
+
+def _bcast_col(v: DF, shape) -> DF:
+    return DF(jnp.broadcast_to(v.hi[..., :, None], shape),
+              jnp.broadcast_to(v.lo[..., :, None], shape))
+
+
+def to_ldr(M: DF) -> LDRdf:
+    """Column-presorted df QR factorization into L * diag(d) * R.
+
+    Mirrors ops/linalg.to_ldr (stablelinalg.cpp:35-55 semantics): columns
+    sorted by max-abs scale (descending) before the QR, d = |diag R| with
+    the column scales folded back, R row-rescaled to unit-modulus
+    diagonal, permutation folded into R.
+    """
+    s = jnp.max(jnp.abs(M.hi), axis=-2)
+    perm = jnp.argsort(-s, stable=True)
+    Mp = DF(jnp.take_along_axis(M.hi, perm[..., None, :], axis=-1),
+            jnp.take_along_axis(M.lo, perm[..., None, :], axis=-1))
+    sp = jnp.take_along_axis(s, perm, axis=-1)
+    sp_safe = jnp.where(sp == 0, jnp.ones_like(sp), sp)
+    inv_sp = df32.div(df32.df(jnp.ones_like(sp)), df32.df(sp_safe))
+    Mn = df32.mul(Mp, _bcast_row(inv_sp, Mp.hi.shape))
+    Q, Rn = df_qr(Mn)
+    dn = _diag(Rn)
+    sign = jnp.where(dn.hi < 0, jnp.float32(-1), jnp.float32(1))
+    dabs = DF(dn.hi * sign, dn.lo * sign)
+    dabs_safe = df32.where(dabs.hi == 0, df32.df(jnp.ones_like(dabs.hi)),
+                           dabs)
+    d = df32.mul(dabs_safe, df32.df(sp_safe))
+    d = df32.where((sp == 0) | (dabs.hi == 0),
+                   df32.df(jnp.zeros_like(sp)), d)
+    # R: rows rescaled by sign/|diag|, then un-equilibrated (sp_j / sp_i;
+    # <= 1 on the upper triangle in sorted order, and the lower triangle
+    # is exactly zero)
+    inv_d = df32.div(df32.df(sign), dabs_safe)
+    R = df32.mul(Rn, _bcast_col(inv_d, Rn.hi.shape))
+    ratio = df32.mul(_bcast_row(df32.df(sp_safe), R.hi.shape),
+                     _bcast_col(inv_sp, R.hi.shape))
+    R = df32.mul(R, ratio)
+    inv_perm = jnp.argsort(perm, axis=-1)
+    R = DF(jnp.take_along_axis(R.hi, inv_perm[..., None, :], axis=-1),
+           jnp.take_along_axis(R.lo, inv_perm[..., None, :], axis=-1))
+    L = DF(Q.hi * sign[..., None, :], Q.lo * sign[..., None, :])
+    return LDRdf(L, d, R)
+
+
+def ldr_matrix(F: LDRdf) -> DF:
+    """Dense L * diag(d) * R (tests / oracles).
+
+    Associated as L @ (diag(d) R): df32.matmul scales its lhs per ROW and
+    its rhs per COLUMN, so the d-grading must ride the rhs rows (captured
+    by the rhs column scales) — (L d) @ R would push the small-d columns
+    below the lhs row-scale plane window and lose columnwise accuracy
+    (measured 0.17 relative on an e^+-15 ladder vs 2^-46 this way)."""
+    Rd = df32.mul(F.R, _bcast_col(F.d, F.R.hi.shape))
+    return df32.matmul(F.L, Rd)
+
+
+def mat_mul_ldr(B: DF, F: LDRdf) -> LDRdf:
+    """LDR of (B @ F_matrix): the forward fold (stablelinalg.cpp:69-79)."""
+    BL = df32.matmul(B, F.L)
+    Bd = df32.mul(BL, _bcast_row(F.d, BL.hi.shape))
+    F2 = to_ldr(Bd)
+    R = df32.matmul(F2.R, F.R)
+    return LDRdf(F2.L, F2.d, R)
+
+
+def _split_scales(d: DF):
+    """(d_large, d_small): clamped >= 1 / <= 1 (stablelinalg.cpp:100)."""
+    one = jnp.ones_like(d.hi)
+    big = d.hi > 1.0
+    dl = df32.where(big, d, df32.df(one))
+    ds = df32.where(big, df32.df(one), d)
+    return dl, ds
+
+
+def _f32_qr(A_hi: jax.Array):
+    from dqmc_tpu.ops.linalg import _f32_mode
+    if A_hi.dtype == jnp.float32 and _f32_mode() == "cgs2":
+        from dqmc_tpu.ops.qr_kernel import cgs2_qr
+        return cgs2_qr(A_hi)
+    return jnp.linalg.qr(A_hi)
+
+
+def _solve_refined(Mdf: DF, Y: DF, n_ir: int = 3):
+    """X = M^{-1} Y and log|det M| via f32 QR + df iterative refinement.
+
+    n_ir=3: each step contracts the error by ~eps32 * cond(M) (~5e-3 at
+    beta=8 where cond(M) ~ 4e4).  On TPU the f32 factorization is the
+    CGS2 Pallas kernel, whose starting error is a few times Householder's;
+    with n_ir=2 the solve dominated the whole chain's error budget
+    (3.6e-7 vs the folds' 1.1e-8 — measured by re-solving the same df
+    factors exactly), with n_ir=3 it converges to the df factor floor."""
+    Q, R = _f32_qr(Mdf.hi)
+    QT32 = jnp.swapaxes(Q, -1, -2)
+
+    def f32_solve(rhs32):
+        return jax.lax.linalg.triangular_solve(
+            R, jnp.matmul(QT32, rhs32), left_side=True, lower=False)
+
+    X = df32.df(f32_solve(Y.hi))
+    for _ in range(n_ir):
+        r = df32.sub(Y, df32.matmul(Mdf, X))
+        X = df32.add(X, df32.df(f32_solve(r.hi)))
+
+    # log|det M|: the f32 diag(R) carries only ~2^-23 relative (log error
+    # ~1e-7), so refine the diagonal via R' = Q^T M in df (one df matmul;
+    # Q's orthogonality defect enters the log only at second order)
+    Rref = df32.matmul(DF(QT32, jnp.zeros_like(QT32)), Mdf)
+    diag = _diag(Rref)
+    logabs = jnp.sum(jnp.log(jnp.abs(diag.hi.astype(jnp.float64)
+                                     + diag.lo.astype(jnp.float64))),
+                     axis=-1)
+    return X, logabs
+
+
+def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf):
+    """G = [I + F1_matrix @ F2t_matrix^T]^{-1} and log|det|, in df32.
+
+    The dag (transpose-suffix) formulation of ops/linalg.py: F2t holds
+    the LDR of B(beta,tau)^T, the middle matrix
+
+        M = D1l^{-1} (L1^T L2) D2l^{-1} + D1s (R1 R2^T) D2s
+
+    is equilibrated, and G = (L2 / d2l) M^{-1} (L1^T / d1l)
+    (cf. stablelinalg.cpp:94-126).
+    """
+    d1l, d1s = _split_scales(F1.d)
+    d2l, d2s = _split_scales(F2t.d)
+    inv_d1l = df32.div(df32.df(jnp.ones_like(d1l.hi)), d1l)
+    inv_d2l = df32.div(df32.df(jnp.ones_like(d2l.hi)), d2l)
+    L1T = transpose(F1.L)
+    shape = L1T.hi.shape
+    termA = df32.matmul(L1T, F2t.L)
+    termA = df32.mul(termA, _bcast_col(inv_d1l, shape))
+    termA = df32.mul(termA, _bcast_row(inv_d2l, shape))
+    termB = df32.matmul(F1.R, transpose(F2t.R))
+    termB = df32.mul(termB, _bcast_col(d1s, shape))
+    termB = df32.mul(termB, _bcast_row(d2s, shape))
+    M = df32.add(termA, termB)
+
+    Y = df32.mul(L1T, _bcast_col(inv_d1l, shape))
+    X, logabs = _solve_refined(M, Y)
+    W2 = df32.mul(F2t.L, _bcast_row(inv_d2l, shape))
+    G = df32.matmul(W2, X)
+    log_det = (jnp.sum(jnp.log(d1l.hi.astype(jnp.float64)
+                               + d1l.lo.astype(jnp.float64)), axis=-1)
+               + jnp.sum(jnp.log(d2l.hi.astype(jnp.float64)
+                                 + d2l.lo.astype(jnp.float64)), axis=-1)
+               + logabs)
+    return G, log_det

@@ -11,9 +11,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in _flags:
+    # XLA:CPU's LLVM backend at opt > 0 contracts/reassociates across the
+    # double-float error-free transformations, corrupting df32 chains
+    # (1.1e-8 -> 5.4e-4 on the beta=8 rebuild — NOTES.md round-4 log);
+    # opt 0 restores true df numerics AND cuts suite wall time ~2.5x on
+    # this 1-core host (compile-dominated).  TPU is unaffected either way.
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -1,0 +1,199 @@
+"""df32 LDR algebra vs f64: factorization quality, folds, dag inverse,
+and the fixed-field chain rebuild at beta=8, carried entirely by f32
+hardware operations.
+
+Oracle note (round-4 finding): the chain tests compare against the f64
+STABILIZED LDR chain (ops/linalg.py, itself mpmath-validated to < 1e-10
+by tests/test_trajectory_golden.py) — NOT against a dense f64 product.
+``solve(I + prod(B))`` computed densely in f64 is numerically void at
+beta=8: ||prod(B)|| reaches ~1e21, so the dense oracle carries
+eps64 * ||P|| ~ 1e5 absolute error in G (measured: max|G_dense - G_stab|
+= 59 on this very chain).  An earlier round xfail'd the df chain tests
+against that oracle, mistaking the oracle's garbage for a df defect.
+
+Accuracy tier (measured, CPU eager, 16 folds at beta=8):
+max|dG| ~ 1e-8 — the per-fold floor is eps_df * cond(equilibrated fold)
+~ 1e-10..1e-9, accumulated over the stack.  Strict 1e-10 reference
+parity remains the f64 mode's domain (tests/test_trajectory_golden.py);
+df32 sits 2 orders below the reference's own 1e-6 stabilization-warning
+threshold (dqmc.cpp:390) at ~25x less device time than emulated f64.
+
+The fold/chain calls here run EAGER on CPU deliberately: XLA:CPU's
+backend codegen (opt level > 0) corrupts fused double-float chains —
+jitting the identical fold graph degrades the chain from 1.1e-8 to
+5.4e-4 (fixed by --xla_backend_optimization_level=0; per-primitive
+eager execution and the TPU backend are unaffected — measured, see
+NOTES.md round-4 log)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from dqmc_tpu.ops import df32, df_linalg, linalg  # noqa: E402
+from dqmc_tpu.ops.df_qr import df_qr  # noqa: E402
+from dqmc_tpu.ops.df32 import DF  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def _df_from64(x):
+    return df32.from_f64(jnp.asarray(x, jnp.float64))
+
+
+def _to64(x: DF):
+    return np.asarray(df32.to_f64(x))
+
+
+def _b_chain(rng, n, nt, beta, U=4.0, mu=-0.1):
+    """Realistic DQMC B-matrix chain (free kinetics + random HS diags)."""
+    import scipy.linalg as sla
+    K = np.zeros((n, n))
+    L = int(np.sqrt(n))
+    for x in range(L):
+        for y in range(L):
+            i = x * L + y
+            for dx, dy in ((1, 0), (0, 1)):
+                j = ((x + dx) % L) * L + (y + dy) % L
+                K[i, j] = K[j, i] = -1.0
+    np.fill_diagonal(K, -mu)
+    dtau = beta / nt
+    expK = sla.expm(-dtau * K)
+    g = np.sqrt(dtau * U / 2)
+    etas = rng.choice([-2.22474487, -0.74196378, 0.74196378, 2.22474487],
+                      size=(nt, n))
+    return [np.diag(np.exp(g * e)) @ expK for e in etas]
+
+
+def _stab64_suffix(Bs, n_stab):
+    """f64 stabilized transpose-suffix chain (the engine's dag fold)."""
+    F2t = None
+    nt = len(Bs)
+    n = Bs[0].shape[0]
+    for i_blk in range(-(-nt // n_stab) - 1, -1, -1):
+        blk = Bs[i_blk * n_stab:(i_blk + 1) * n_stab]
+        Bbar = np.eye(n)
+        for B in blk:
+            Bbar = B @ Bbar
+        T = jnp.asarray(Bbar.T)
+        F2t = (linalg.to_ldr(T) if F2t is None
+               else linalg.mat_mul_ldr(T, F2t))
+    return F2t
+
+
+def _df_suffix(Bs, n_stab):
+    F2t = None
+    nt = len(Bs)
+    n = Bs[0].shape[0]
+    for i_blk in range(-(-nt // n_stab) - 1, -1, -1):
+        blk = Bs[i_blk * n_stab:(i_blk + 1) * n_stab]
+        Bbar = np.eye(n)
+        for B in blk:
+            Bbar = B @ Bbar
+        T = _df_from64(Bbar.T)
+        F2t = (df_linalg.to_ldr(T) if F2t is None
+               else df_linalg.mat_mul_ldr(T, F2t))
+    return F2t
+
+
+def test_df_qr_quality(rng):
+    """Orthogonality and columnwise residual at the df floor, including a
+    graded matrix (the fold regime after column equilibration)."""
+    n = 64
+    A64 = rng.standard_normal((n, n))
+    Q, R = df_qr(_df_from64(A64))
+    Q64, R64 = _to64(Q), _to64(R)
+    assert np.abs(Q64.T @ Q64 - np.eye(n)).max() < 2.0 ** -42
+    col = np.abs(A64).max(axis=0)
+    assert (np.abs(Q64 @ R64 - A64).max(axis=0) / col).max() < 2.0 ** -41
+    # R exactly upper triangular
+    assert np.all(np.tril(R64, -1) == 0)
+
+    graded = A64 * np.exp(np.linspace(-4, 4, n))[None, :]
+    Qg, Rg = df_qr(_df_from64(graded))
+    assert np.abs(_to64(Qg).T @ _to64(Qg) - np.eye(n)).max() < 2.0 ** -42
+    colg = np.abs(graded).max(axis=0)
+    assert (np.abs(_to64(Qg) @ _to64(Rg) - graded).max(axis=0)
+            / colg).max() < 2.0 ** -40
+
+
+def test_to_ldr_reconstructs(rng):
+    """Fold-regime input: well-conditioned core times a huge column
+    ladder (column equilibration recovers the core)."""
+    n = 64
+    core = rng.standard_normal((n, n))
+    u, sv, vt = np.linalg.svd(core)
+    core = (u * np.linspace(1.0, 0.02, n)) @ vt          # cond 50
+    A64 = core * np.exp(rng.uniform(-15, 15, (1, n)))
+    F = df_linalg.to_ldr(_df_from64(A64))
+    M = _to64(df_linalg.ldr_matrix(F))
+    col = np.abs(A64).max(axis=0)
+    assert (np.abs(M - A64).max(axis=0) / col).max() < 2.0 ** -40
+    d = np.sort(_to64(F.d))[::-1]
+    assert d[0] / d[-1] > 1e8        # genuinely graded
+    L = _to64(F.L)
+    assert np.abs(L.T @ L - np.eye(n)).max() < 2.0 ** -42
+
+
+def test_fold_chain_matches_f64(rng):
+    """Fold 8 blocks at beta=8-grade scales: the df LDR product must track
+    the f64 STABILIZED product columnwise (the dense product is not
+    columnwise-representable at this grading — see module docstring)."""
+    n, nt, beta, n_stab = 36, 40, 8.0, 5
+    Bs = _b_chain(rng, n, nt, beta)
+    Fdf = _df_suffix(Bs, n_stab)
+    F64 = _stab64_suffix(Bs, n_stab)
+    # compare factored representations: d-ladder relative + L span
+    d_df = np.sort(_to64(Fdf.d))[::-1]
+    d_64 = np.sort(np.asarray(F64.d))[::-1]
+    rel = np.abs(d_df - d_64) / d_64
+    assert rel.max() < 1e-6, rel.max()
+    L_df, L_64 = _to64(Fdf.L), np.asarray(F64.L)
+    span = np.abs(L_df @ L_df.T - L_64 @ L_64.T).max()
+    assert span < 1e-9, span
+
+
+def test_inv_one_plus_dag_matches_f64(rng):
+    """G = [I + B(beta,0)]^{-1} via the df dag formulation vs the f64
+    stabilized chain."""
+    n, nt, beta, n_stab = 36, 40, 8.0, 5
+    Bs = _b_chain(rng, n, nt, beta)
+    F2t = _df_suffix(Bs, n_stab)
+    F1 = df_linalg.to_ldr(df32.df(jnp.eye(n, dtype=jnp.float32)))
+    G, log_det = df_linalg.inv_one_plus_ldr_dag(F1, F2t)
+
+    F2t64 = _stab64_suffix(Bs, n_stab)
+    G64, ld64 = linalg.inv_one_plus_ldr_dag(
+        linalg.identity_ldr(n, jnp.float64), F2t64)
+    err = np.abs(_to64(G) - np.asarray(G64)).max()
+    assert err < 5e-8, err
+    # log|det| sums ~n per-direction logs whose arguments carry the df
+    # d-ladder tier (~1e-7 relative each): absolute tolerance scales with
+    # n, not with the G tier.  2e-5 measured at n=36; PT exchange actions
+    # are O(1e2-1e3), so this is ~1e-8 relative on the decision scale.
+    assert abs(float(log_det) - float(ld64)) < 1e-4
+
+
+def test_chain_rebuild_beta8(rng):
+    """The df32 parity claim: G(0,0) from a full beta=8 stabilized rebuild
+    on a FIXED field configuration matches the f64 stabilized engine
+    chain to ~1e-8 — using only f32 hardware operations (vs the f32
+    engine's ~1e-2 at this beta, and the reference's own 1e-6 warning
+    threshold, dqmc.cpp:390)."""
+    n, nt, beta, n_stab = 64, 80, 8.0, 5
+    Bs = _b_chain(rng, n, nt, beta)
+    F2t = _df_suffix(Bs, n_stab)
+    F1 = df_linalg.to_ldr(df32.df(jnp.eye(n, dtype=jnp.float32)))
+    G, _ = df_linalg.inv_one_plus_ldr_dag(F1, F2t)
+
+    F2t64 = _stab64_suffix(Bs, n_stab)
+    G64, _ = linalg.inv_one_plus_ldr_dag(
+        linalg.identity_ldr(n, jnp.float64), F2t64)
+    err = np.abs(_to64(G) - np.asarray(G64)).max()
+    assert err < 1e-7, err
