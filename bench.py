@@ -62,32 +62,50 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     from dqmc_tpu.lattice import square_lattice
     from dqmc_tpu.models import AttractiveHubbard
 
-    dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
+    dtype = {"float32": jnp.float32, "float64": jnp.float64,
+             "df32": jnp.float32}[dtype_name]
     log(f"benchmark device: {jax.devices()[0]} dtype={dtype_name}")
     lat = square_lattice(L, L)
     model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
                                     nt=NT, dtype=dtype,
                                     checkerboard=checkerboard)
     # f32: the fused block kernel (engine/fused.py) where supported, else
-    # the per-slice Pallas site-update; f64 parity mode uses the delayed
-    # rank-k path (Pallas kernels are f32).
-    fused = dtype == jnp.float32
-    if fused:
+    # the per-slice Pallas site-update; df32 parity mode: f32 kernels with
+    # the df32 stabilization path (engine/df_sweep.py); f64 strict-parity
+    # mode uses the delayed rank-k path (Pallas kernels are f32).
+    df_mode = dtype_name == "df32"
+    fused = dtype == jnp.float32 and not df_mode
+    if df_mode:
+        from dqmc_tpu.engine.df_sweep import (df_aux_build, df_sweep_pair,
+                                              init_state_df)
+        if checkerboard:
+            raise NotImplementedError("df32 mode: dense kinetics only")
+        aux = df_aux_build(lat, U=U, t=1.0, mu=MU, beta=BETA, nt=NT)
+        cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
+    elif fused:
         cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
         fused = supports_fused(model, cfg)
     else:
         cfg = EngineConfig(nt=NT, n_stab=NSTAB, delay_rank=32)
-    log(f"engine: {'fused block kernel' if fused else 'per-slice'}")
+    log(f"engine: "
+        f"{'df32 hybrid' if df_mode else 'fused block kernel' if fused else 'per-slice'}")
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
     t0 = time.perf_counter()
-    states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
+    if df_mode:
+        states = jax.jit(jax.vmap(
+            lambda k: init_state_df(model, aux, cfg, k)))(keys)
+    else:
+        states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
     jax.block_until_ready(states.G)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
     @jax.jit
     def chunk(states):
         def body(s, _):
+            if df_mode:
+                return jax.vmap(
+                    lambda w: df_sweep_pair(model, aux, cfg, w))(s), None
             if fused:
                 return sweep_pair_fused(model, cfg, s), None
             return jax.vmap(lambda w: sweep_pair(model, cfg, w))(s), None
@@ -186,8 +204,11 @@ def main():
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the f64 parity-grade measurement")
-    p.add_argument("--dtype", choices=("float32", "float64"),
-                   default="float32", help="dtype for the primary number")
+    p.add_argument("--dtype", choices=("float32", "float64", "df32"),
+                   default="float32",
+                   help="dtype for the primary number (df32 = the hybrid "
+                        "double-float32 parity engine, ~1e-8 fixed-field "
+                        "accuracy at beta=8 from pure f32 hardware ops)")
     args = p.parse_args()
 
     L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
@@ -196,17 +217,18 @@ def main():
     walkers = args.walkers or default_w
     sys.path.insert(0, REPO)
 
-    # parity-grade companion number: same workload at f64 (BASELINE.md
-    # "Numerical parity" target).  Runs in a SUBPROCESS, and BEFORE this
-    # process touches the TPU: jax_enable_x64 must be set before first jax
-    # use, and flipping it mid-process poisons async-dispatch timing on
-    # this TPU runtime (measured 0.00s walls).
+    # parity-grade companion number: same workload on the df32 hybrid
+    # engine (~1e-8 fixed-field accuracy at beta=8, tests/test_df_linalg;
+    # the strict f64 mode stays available via --dtype float64 at ~28x
+    # less throughput).  Runs in a SUBPROCESS so its compile cache and
+    # device context stay isolated from the primary measurement.
     parity_raw = None
+    parity_dtype = "df32"
     if not args.skip_parity and args.dtype == "float32" \
             and args.config == "headline":
         cmd = [sys.executable, os.path.abspath(__file__),
-               "--config", args.config, "--dtype", "float64",
-               "--walkers", str(max(walkers // 4, 2)), "--inner", "1",
+               "--config", args.config, "--dtype", parity_dtype,
+               "--walkers", str(walkers), "--inner", "2",
                "--reps", "2", "--skip-baseline", "--skip-parity"]
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=3000, cwd=REPO)
@@ -227,7 +249,7 @@ def main():
     parity = None
     if parity_raw is not None:
         parity = {
-            "dtype": "float64",
+            "dtype": parity_dtype,
             "value": parity_raw["value"],
             "err_max": parity_raw["err_max_steady"],
             "acc": parity_raw["acc"],

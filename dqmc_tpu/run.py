@@ -14,8 +14,12 @@ Config schema (superset of the reference's, SURVEY.md section 5):
   [simulation]         beta, nt, n_therms, n_sweeps, n_bins, n_stab,
                        symmetric (default false),
                        isMeasureUnequalTime, seed (default 42),
-                       dtype (float32|float64; default float64 on CPU,
-                       float32 on TPU — TPU has no native f64)
+                       dtype (float32|float64|df32; default float64 on CPU,
+                       float32 on TPU — TPU has no native f64.  df32 = the
+                       hybrid double-float32 parity engine: ~1e-8
+                       fixed-field Green's-function accuracy from f32
+                       hardware ops at ~1/9 the f32 mode's throughput,
+                       ~28x the f64-emulation mode's)
   [walkers]            n_walkers (default 1),
                        n_devices (0 = all visible devices, 1 = no sharding)
   [ParallelTempering]  enabled (default false), sweep_steps, betas
@@ -49,16 +53,24 @@ def default_dtype():
 
 
 def _resolve_dtype(params: Parameters):
+    """(dtype, df_mode) from [simulation] dtype.
+
+    df32: the hybrid double-float32 parity engine (engine/df_sweep.py) —
+    f32 kernels for wraps/site updates, df32 stack + stabilized inverses.
+    Fixed-field Green's-function accuracy ~1e-8 at beta=8 from pure f32
+    hardware ops, at ~28x the f64-emulation mode's throughput."""
     name = params.get_str("simulation", "dtype", "")
+    if name in ("df32", "df"):
+        return jnp.float32, True
     if name in ("float32", "f32"):
-        return jnp.float32
+        return jnp.float32, False
     if name in ("float64", "f64"):
         # x64 must be on for EVERY backend: on TPU f64 runs emulated
-        # (slow but correct, the parity-grade mode); without the flag the
+        # (slow but correct, the strict-parity mode); without the flag the
         # arrays silently truncate to f32 and the run is NOT f64
         jax.config.update("jax_enable_x64", True)
-        return jnp.float64
-    return default_dtype()
+        return jnp.float64, False
+    return default_dtype(), False
 
 
 def _parse_n_stab(params: Parameters):
@@ -201,7 +213,7 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         from dqmc_tpu.parallel.tempering import run_parallel_tempering
         return run_parallel_tempering(params, out_dir=out_dir, verbose=verbose)
 
-    dtype = _resolve_dtype(params)
+    dtype, df_mode = _resolve_dtype(params)
     n_sweeps = params.get_int("simulation", "n_sweeps")
     n_therms = params.get_int("simulation", "n_therms")
     n_bins = params.get_int("simulation", "n_bins")
@@ -221,6 +233,21 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     model_name = params.get_str("hubbard", "model", "attractive")
     model_cls = MODEL_REGISTRY[model_name]
     model = model_cls.from_params(params, lat, dtype=dtype)
+    df_aux = None
+    if df_mode:
+        if model.n_flavor != 1:
+            raise NotImplementedError(
+                "dtype = df32 supports the single-flavor attractive model; "
+                "use float64 for sign-prone models")
+        from dqmc_tpu.engine.df_sweep import df_aux_build
+        from dqmc_tpu.lattice import nn_bonds
+        df_aux = df_aux_build(
+            lat,
+            U=params.get_float("hubbard", "U"),
+            t=params.get_float("hubbard", "t"),
+            mu=params.get_float("hubbard", "mu"),
+            beta=float(model.beta), nt=nt,
+            bonds=nn_bonds(params.get_str("Lattice", "geometry", "square")))
     # adaptive n_stab + resume: the stack shape depends on n_stab, so the
     # adapted value must be known before states are built
     ckpt_every = params.get_int("simulation", "checkpoint_every", 0)
@@ -231,11 +258,16 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         n_stab = int(peek_meta(ckpt_path).get("n_stab", n_stab))
     cfg = make_engine_config(params, model, n_stab=n_stab)
     log(f"Standard DQMC run: {lat.L1}x{lat.L2} lattice, beta={float(model.beta)}, "
-        f"nt={nt}, {n_walkers} walkers, dtype={dtype.__name__}, "
+        f"nt={nt}, {n_walkers} walkers, "
+        f"dtype={'df32' if df_mode else dtype.__name__}, "
         f"backend={jax.default_backend()}")
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_walkers)
-    states = jax.vmap(lambda k: init_state(model, cfg, k))(keys)
+    if df_mode:
+        from dqmc_tpu.engine.df_sweep import init_state_df
+        states = jax.vmap(lambda k: init_state_df(model, df_aux, cfg, k))(keys)
+    else:
+        states = jax.vmap(lambda k: init_state(model, cfg, k))(keys)
 
     # --- checkpoint / resume (absent in the reference; SURVEY.md section 5)
     start_bin = 0
@@ -286,13 +318,19 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     elif engine_kind == "auto":
         use_fused = (supports_fused(model, cfg)
                      and jax.default_backend() != "cpu"
-                     and dtype == jnp.float32 and not sharded)
+                     and dtype == jnp.float32 and not df_mode and not sharded)
     else:
         use_fused = False
     if use_fused:
         log("Engine: fused block kernel (propagate+update in VMEM)")
+    if df_mode:
+        log("Engine: df32 hybrid (f32 kernels, double-float32 stabilization)")
 
     def build_step(c: EngineConfig):
+        if df_mode:
+            from dqmc_tpu.engine.df_sweep import df_sweep_pair
+            return jax.jit(jax.vmap(
+                lambda s: df_sweep_pair(model, df_aux, c, s)))
         if use_fused:
             return jax.jit(lambda s: sweep_pair_fused(model, c, s))
         return jax.jit(jax.vmap(lambda s: sweep_pair(model, c, s)))
@@ -338,13 +376,25 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         cfg = dataclasses.replace(cfg, n_stab=new)
         log(f"n_stab auto: chunk err_mean {err_mean:.2e} "
             f"(warn {err_warn:.0e}) -> n_stab = {new}")
-        from dqmc_tpu.engine.sweep import rebuild_stack_and_greens
+        if df_mode:
+            from dqmc_tpu.engine.df_sweep import rebuild_stack_df
 
-        @jax.jit
-        @jax.vmap
-        def reseat(s):
-            stack, G, log_det = rebuild_stack_and_greens(model, cfg, s.fields)
-            return dataclasses.replace(s, G=G, stack=stack, log_det_M=log_det)
+            @jax.jit
+            @jax.vmap
+            def reseat(s):
+                stack, G_df, log_det = rebuild_stack_df(df_aux, cfg, s.fields)
+                return dataclasses.replace(s, G=G_df.hi, G_df=G_df,
+                                           stack=stack, log_det_M=log_det)
+        else:
+            from dqmc_tpu.engine.sweep import rebuild_stack_and_greens
+
+            @jax.jit
+            @jax.vmap
+            def reseat(s):
+                stack, G, log_det = rebuild_stack_and_greens(model, cfg,
+                                                             s.fields)
+                return dataclasses.replace(s, G=G, stack=stack,
+                                           log_det_M=log_det)
 
         return reseat(states), cfg, build_step(cfg)
 
@@ -371,9 +421,31 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     # symmetric=true warps the tau-resolved Green's functions too
     # (dqmc.cpp:300-312).  Built after thermalization: n_stab may have
     # adapted, and the measurement phase uses the settled schedule.
-    uneq_step = jax.jit(jax.vmap(
-        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn,
-                                     warp=symmetric)))
+    if df_mode:
+        # tau-resolved reconstruction runs the f32 uneq sweep on the
+        # hi-rounded df stack: each triplet starts from df-accurate
+        # (f32-representation-limited) factors, so the tau data carries
+        # f32 reconstruction noise but none of the f32 chain's
+        # accumulated stack drift
+        from dqmc_tpu.engine.state import WalkerState
+        from dqmc_tpu.ops.linalg import LDR
+
+        def _f32_view(s):
+            return WalkerState(
+                fields=s.fields, G=s.G,
+                stack=LDR(s.stack.L.hi, s.stack.d.hi, s.stack.R.hi),
+                log_det_M=s.log_det_M, key=s.key, acc_sum=s.acc_sum,
+                sign=s.sign, err_max=s.err_max, err_sum=s.err_sum,
+                err_count=s.err_count)
+
+        uneq_step = jax.jit(jax.vmap(
+            lambda s: sweep_unequal_time(model, cfg, _f32_view(s),
+                                         measure_fn=uneq_fn,
+                                         warp=symmetric)))
+    else:
+        uneq_step = jax.jit(jax.vmap(
+            lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn,
+                                         warp=symmetric)))
 
     # split precision stats: the random-field transient is reported once,
     # then reset so the summary's max/mean reflect the measured phase

