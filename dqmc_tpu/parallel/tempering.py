@@ -158,7 +158,12 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
                               global_stats, make_engine_config)
 
     log = _rank0_log(verbose)
-    dtype = _resolve_dtype(params)
+    dtype, df_mode = _resolve_dtype(params)
+    if df_mode:
+        # PT has no df32 engine path; f32 chains + f64 exchange actions
+        # (the default below) already give unbiased exchange decisions
+        log("dtype = df32: PT runs the f32 engine with f64 exchange "
+            "actions (no df32 PT path)")
 
     # f32 chains get f64 exchange actions by default (the f32 log-det bias
     # is documented in NOTES.md); x64 must be on for the cast to be real

@@ -51,8 +51,10 @@ def main():
     p.add_argument("--n-stab", type=int, default=5)
     p.add_argument("--walkers", type=int, default=16)
     p.add_argument("--engine", choices=("fused", "slice"), default="fused")
-    p.add_argument("--dtype", choices=("float32", "float64"),
+    p.add_argument("--dtype", choices=("float32", "float64", "df32"),
                    default="float32")
+    p.add_argument("--top", type=int, default=0,
+                   help="also print the N most expensive individual ops")
     args = p.parse_args()
 
     import jax
@@ -65,21 +67,30 @@ def main():
     from dqmc_tpu.lattice import square_lattice
     from dqmc_tpu.models import AttractiveHubbard
 
-    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     lat = square_lattice(args.L, args.L)
     model = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=0.0,
                                     beta=args.beta, nt=args.nt, dtype=dtype)
     use_pallas = dtype == jnp.float32 and jax.default_backend() != "cpu"
     cfg = EngineConfig(nt=args.nt, n_stab=args.n_stab,
-                       use_pallas=use_pallas and args.engine == "slice")
+                       use_pallas=use_pallas and args.engine != "fused")
     fused = args.engine == "fused" and supports_fused(model, cfg) \
-        and dtype == jnp.float32
+        and args.dtype == "float32"
     keys = jax.random.split(jax.random.PRNGKey(0), args.walkers)
-    states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
-    if fused:
-        step = jax.jit(lambda s: sweep_pair_fused(model, cfg, s))
+    if args.dtype == "df32":
+        from dqmc_tpu.engine.df_sweep import (df_aux_build, df_sweep_pair,
+                                              init_state_df)
+        aux = df_aux_build(lat, U=4.0, t=1.0, mu=0.0, beta=args.beta,
+                           nt=args.nt)
+        states = jax.jit(jax.vmap(
+            lambda k: init_state_df(model, aux, cfg, k)))(keys)
+        step = jax.jit(jax.vmap(lambda s: df_sweep_pair(model, aux, cfg, s)))
     else:
-        step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
+        states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
+        if fused:
+            step = jax.jit(lambda s: sweep_pair_fused(model, cfg, s))
+        else:
+            step = jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s)))
     states = step(states)
     jax.block_until_ready(states.G)
 
@@ -122,6 +133,10 @@ def main():
     for phase, dur in agg.most_common():
         print(f"{phase:42s} {dur / 1e3:9.2f} {dur / total:7.1%}")
     print(f"{'TOTAL device time':42s} {total / 1e3:9.2f}")
+    if args.top:
+        print(f"\ntop {args.top} ops:")
+        for (ph, name), dur in ops.most_common(args.top):
+            print(f"  {dur / 1e3:8.2f} ms  [{ph:>8.8s}] {name}")
     print(json.dumps({"phases": {k: round(v / 1e3, 3)
                                  for k, v in agg.items()},
                       "total_ms": round(total / 1e3, 3),
