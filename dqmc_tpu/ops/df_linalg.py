@@ -78,6 +78,27 @@ def _bcast_col(v: DF, shape) -> DF:
               jnp.broadcast_to(v.lo[..., :, None], shape))
 
 
+def _df_qr_mode() -> str:
+    """'hybrid' (Pallas panel kernel) on accelerators, 'xla' on CPU.
+
+    Override with DQMC_DF_QR=xla|hybrid.  CPU defaults to the pure-XLA
+    path: the hybrid kernel runs there only in slow interpret mode, and
+    jitted CPU df graphs hit the LLVM contraction bug (module docstring).
+    """
+    import os
+    mode = os.environ.get("DQMC_DF_QR", "").lower()
+    if mode in ("xla", "hybrid"):
+        return mode
+    return "xla" if jax.default_backend() == "cpu" else "hybrid"
+
+
+def _qr(M: DF):
+    if _df_qr_mode() == "hybrid":
+        from dqmc_tpu.ops.df_qr_kernel import df_qr_hybrid
+        return df_qr_hybrid(M)
+    return df_qr(M)
+
+
 def to_ldr(M: DF) -> LDRdf:
     """Column-presorted df QR factorization into L * diag(d) * R.
 
@@ -94,7 +115,7 @@ def to_ldr(M: DF) -> LDRdf:
     sp_safe = jnp.where(sp == 0, jnp.ones_like(sp), sp)
     inv_sp = df32.div(df32.df(jnp.ones_like(sp)), df32.df(sp_safe))
     Mn = df32.mul(Mp, _bcast_row(inv_sp, Mp.hi.shape))
-    Q, Rn = df_qr(Mn)
+    Q, Rn = _qr(Mn)
     dn = _diag(Rn)
     sign = jnp.where(dn.hi < 0, jnp.float32(-1), jnp.float32(1))
     dabs = DF(dn.hi * sign, dn.lo * sign)
