@@ -55,6 +55,8 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     jax.config.update("jax_default_matmul_precision", "highest")
     if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
+    from dqmc_tpu import compile_cache
+    compile_cache.enable()
     import jax.numpy as jnp
     from dqmc_tpu.engine import (EngineConfig, init_state, reset_error_stats,
                                  sweep_pair)

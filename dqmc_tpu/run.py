@@ -536,6 +536,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from dqmc_tpu import compile_cache
+    compile_cache.enable()
     params = Parameters(args.file)
     run_simulation(params, out_dir=args.out_dir)
 

@@ -28,6 +28,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the suite is compile-dominated on this
+# 1-core host, and cache keys include backend + flags so the CPU/x64/opt-0
+# programs never collide with production TPU entries
+from dqmc_tpu import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

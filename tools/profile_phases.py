@@ -61,6 +61,8 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    from dqmc_tpu import compile_cache
+    compile_cache.enable()
     import jax.numpy as jnp
     from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair
     from dqmc_tpu.engine.fused import supports_fused, sweep_pair_fused
