@@ -66,20 +66,31 @@ class DFModelAux(NamedTuple):
     expK: (ns, ns) df pair of expm(-dtau K), split from the f64 build
     (scipy expm carries full f64 precision; model.cpp:31-35).
     expv: (nfl, 4) df pair table exp(g * eta(s)) per stored flavor.
+    act: (4,) df pair of per-state bosonic action constants
+    -(alpha*g*eta_v + log gamma_v), so the bosonic part of the global
+    action is the exact state-count dot sum_v N_v * act_v
+    (model.cpp:140-159 semantics; used by parallel tempering).
     """
     expK: DF
     expv: DF
+    act: DF
 
 
-def _aux_from_np(expK64: np.ndarray, g64: float) -> DFModelAux:
+def _aux_from_np(expK64: np.ndarray, g64: float,
+                 alpha: float = -1.0) -> DFModelAux:
     eta = np.asarray(hsfield.ETA, np.float64)
+    gamma = np.asarray(hsfield.GAMMA, np.float64)
     tbl = np.exp(g64 * eta)[None, :]                    # (nfl=1, 4)
     th = np.float32(tbl)
     tl = np.float32(tbl - np.float64(th))
     kh = np.float32(expK64)
     kl = np.float32(expK64 - np.float64(kh))
+    act = -(alpha * g64 * eta + np.log(gamma))          # (4,) f64
+    ah = np.float32(act)
+    al = np.float32(act - np.float64(ah))
     return DFModelAux(expK=DF(jnp.asarray(kh), jnp.asarray(kl)),
-                      expv=DF(jnp.asarray(th), jnp.asarray(tl)))
+                      expv=DF(jnp.asarray(th), jnp.asarray(tl)),
+                      act=DF(jnp.asarray(ah), jnp.asarray(al)))
 
 
 def df_aux_build(lat, *, U: float, t: float, mu: float, beta: float,
@@ -356,3 +367,41 @@ def df_sweep_pair(model32, aux: DFModelAux, cfg: EngineConfig,
     """Forward + backward sweep (main.cpp:156-157)."""
     state = df_sweep(model32, aux, cfg, state, forward=True)
     return df_sweep(model32, aux, cfg, state, forward=False)
+
+
+def f32_view(state: DFWalkerState):
+    """The f32 ``WalkerState`` twin of a df walker (hi-rounded stack).
+
+    Used to run the f32 unequal-time sweep on a df chain: each
+    tau-resolved triplet reconstruction starts from df-accurate
+    (f32-representation-limited) factors, so the tau data carries f32
+    reconstruction noise but none of the f32 chain's accumulated drift.
+    """
+    from dqmc_tpu.engine.state import WalkerState
+    from dqmc_tpu.ops.linalg import LDR
+    return WalkerState(
+        fields=state.fields, G=state.G,
+        stack=LDR(state.stack.L.hi, state.stack.d.hi, state.stack.R.hi),
+        log_det_M=state.log_det_M, key=state.key, acc_sum=state.acc_sum,
+        sign=state.sign, err_max=state.err_max, err_sum=state.err_sum,
+        err_count=state.err_count)
+
+
+def df_global_action(aux: DFModelAux, fields: jax.Array,
+                     log_det_M: jax.Array, det_power: int = 2) -> jax.Array:
+    """S({s}) at df accuracy for replica exchange (model.cpp:140-159).
+
+    The fermionic part uses the df chain's log-det (itself df-grade);
+    the bosonic part is the exact integer state-count dot with the f64
+    per-state constants carried as df pairs in ``aux.act`` — total
+    absolute error ~eps32 * |S|, versus the O(1..10) bias of an f32
+    chain's log-det that forces the f32 PT path onto f64 rebuilds.
+    """
+    counts = jnp.stack([jnp.count_nonzero(fields == v)
+                        for v in range(4)]).astype(jnp.float32)
+    prod = df32.mul(aux.act, df32.df(counts))
+    tot = DF(jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    for v in range(4):
+        tot = df32.add(tot, DF(prod.hi[v], prod.lo[v]))
+    s_ferm = -det_power * jnp.sum(log_det_M)
+    return s_ferm + tot.hi + tot.lo

@@ -216,8 +216,19 @@ class AttractiveHubbard:
     # ------------------------------------------------------------------
 
     def global_action(self, fields: jax.Array, log_det_M: jax.Array) -> jax.Array:
-        """S = -det_power * sum_flv log|det M_flv| - sum_i (alpha*g*eta_i + log gamma_i)."""
+        """S = -det_power * sum_flv log|det M_flv| - sum_i (alpha*g*eta_i + log gamma_i).
+
+        The bosonic sum runs over only 4 distinct per-site values, so it
+        is computed as exact integer state-counts times per-state
+        constants: the nt*ns-term gather-sum collapses to a 4-term dot
+        whose only rounding is eps * |S_boson| (load-bearing for f32
+        chains, where the long-sum version carried O(1e-2) absolute
+        error into parallel-tempering decisions).
+        """
         s_ferm = -self.det_power * jnp.sum(log_det_M)
-        log_boson = self.alpha * self.g * jnp.sum(self.eta[fields])
-        log_gamma = jnp.sum(jnp.log(self.gamma[fields]))
+        dtype = self.eta.dtype
+        counts = jnp.stack(
+            [jnp.count_nonzero(fields == v) for v in range(4)]).astype(dtype)
+        log_boson = self.alpha * self.g * jnp.sum(counts * self.eta)
+        log_gamma = jnp.sum(counts * jnp.log(self.gamma))
         return s_ferm - log_boson - log_gamma

@@ -125,6 +125,10 @@ class RepulsiveHubbard:
         return jnp.prod(r_flv) ** self.det_power
 
     def global_action(self, fields: jax.Array, log_det_M: jax.Array) -> jax.Array:
+        # exact state-count form of the bosonic sum (see AttractiveHubbard)
         s_ferm = -self.det_power * jnp.sum(log_det_M)
-        log_gamma = jnp.sum(jnp.log(self.gamma[fields]))
+        counts = jnp.stack(
+            [jnp.count_nonzero(fields == v)
+             for v in range(4)]).astype(self.gamma.dtype)
+        log_gamma = jnp.sum(counts * jnp.log(self.gamma))
         return s_ferm - log_gamma

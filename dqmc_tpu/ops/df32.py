@@ -242,7 +242,21 @@ def matmul(a: DF, b: DF, n_planes: int = N_PLANES) -> DF:
     error w.r.t. exact row/column magnitudes.
 
     Batched over leading dims.  k <= 2^18 for exact int32 accumulation.
+
+    On accelerators this routes through an inner ``jax.jit``: the ~100-op
+    digit-plane graph then traces ONCE per operand signature instead of
+    being re-traced at every call site (the df engine builds thousands of
+    these; inner-jit jaxpr reuse cuts its multi-minute trace time ~2x).
+    On CPU it stays inline — an inner jit would form its own fused XLA:CPU
+    unit and hit the LLVM reassociation bug outside the tests' opt-0 flag
+    (module docstring of ops/df_linalg.py).
     """
+    if jax.default_backend() != "cpu":
+        return _matmul_jit(a, b, n_planes)
+    return _matmul_impl(a, b, n_planes)
+
+
+def _matmul_impl(a: DF, b: DF, n_planes: int = N_PLANES) -> DF:
     ap, sa = _digit_planes(a, axis=-1, n_planes=n_planes)   # scales per row
     bp, sb = _digit_planes(b, axis=-2, n_planes=n_planes)   # per column
     nbatch = a.hi.ndim - 2
@@ -270,6 +284,9 @@ def matmul(a: DF, b: DF, n_planes: int = N_PLANES) -> DF:
         acc = (DF(term, jnp.zeros_like(term)) if acc is None
                else add(acc, DF(term, jnp.zeros_like(term))))
     return DF(acc.hi * scale, acc.lo * scale)
+
+
+_matmul_jit = jax.jit(_matmul_impl, static_argnames="n_planes")
 
 
 def matmul_f64_oracle(a: DF, b: DF):

@@ -144,6 +144,58 @@ def replica_exchange(models, cfg: EngineConfig, states: WalkerState,
     return states, accept
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def replica_exchange_df(auxs, cfg: EngineConfig, states, attempt: jax.Array,
+                        key: jax.Array, det_power: int = 2):
+    """Replica exchange for df32 chains (parity-grade PT).
+
+    Same pairing/shared-coin protocol as :func:`replica_exchange`, with
+    both actions carried at df accuracy: the chain's own log-det is
+    already df-grade, the cross log-det comes from one df stack rebuild
+    per replica (``rebuild_stack_df``), and the bosonic part is the
+    exact state-count dot (``df_global_action``).  No f64 emulation
+    anywhere — this is what makes PT affordable in the hybrid parity
+    mode (~20x cheaper rebuilds than the f64 path the f32 chain needs).
+
+    ``auxs``: a replica-stacked ``DFModelAux`` (one beta per slot).
+    ``states``: replica-stacked ``DFWalkerState``.
+    """
+    import dataclasses as _dc
+
+    from dqmc_tpu.engine.df_sweep import df_global_action, rebuild_stack_df
+
+    R = states.fields.shape[0]
+    partner = partner_indices(R, attempt)
+    fields_partner = jnp.take(states.fields, partner, axis=0)
+
+    act = jax.vmap(lambda a, f, ld: df_global_action(a, f, ld, det_power))
+    S_self = act(auxs, states.fields, states.log_det_M)
+    stack_x, G_x_df, log_det_x = jax.vmap(
+        lambda a, f: rebuild_stack_df(a, cfg, f))(auxs, fields_partner)
+    S_cross = act(auxs, fields_partner, log_det_x)
+
+    dS = (S_cross + jnp.take(S_cross, partner)
+          - S_self - jnp.take(S_self, partner))
+    pair_id = jnp.minimum(jnp.arange(R), partner)
+    u_all = jax.random.uniform(key, (R,), dtype=S_self.dtype)
+    u_pair = jnp.take(u_all, pair_id)
+    accept = u_pair < jnp.exp(-dS)
+
+    def sel(new, old):
+        acc = accept.reshape((R,) + (1,) * (new.ndim - 1))
+        return jnp.where(acc, new, old)
+
+    states = _dc.replace(
+        states,
+        fields=sel(fields_partner, states.fields),
+        G=sel(G_x_df.hi, states.G),
+        G_df=jax.tree_util.tree_map(sel, G_x_df, states.G_df),
+        stack=jax.tree_util.tree_map(sel, stack_x, states.stack),
+        log_det_M=sel(log_det_x, states.log_det_M),
+    )
+    return states, accept
+
+
 # ----------------------------------------------------------------------
 # PT simulation driver (main.cpp PT branch)
 # ----------------------------------------------------------------------
@@ -159,17 +211,14 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
 
     log = _rank0_log(verbose)
     dtype, df_mode = _resolve_dtype(params)
-    if df_mode:
-        # PT has no df32 engine path; f32 chains + f64 exchange actions
-        # (the default below) already give unbiased exchange decisions
-        log("dtype = df32: PT runs the f32 engine with f64 exchange "
-            "actions (no df32 PT path)")
 
     # f32 chains get f64 exchange actions by default (the f32 log-det bias
-    # is documented in NOTES.md); x64 must be on for the cast to be real
+    # is documented in NOTES.md); x64 must be on for the cast to be real.
+    # df32 chains carry their own df-grade actions (replica_exchange_df) —
+    # no f64 emulation anywhere in the df PT path.
     f64_actions = params.get_bool("ParallelTempering", "f64_actions",
-                                  dtype == jnp.float32)
-    if f64_actions:
+                                  dtype == jnp.float32 and not df_mode)
+    if f64_actions and not df_mode:
         jax.config.update("jax_enable_x64", True)
 
     betas = params.get_float_list("ParallelTempering", "betas")
@@ -196,14 +245,32 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         AttractiveHubbard.from_params(params, lat, beta=b, dtype=dtype)
         for b in betas])
     cfg = make_engine_config(params, models)
+    auxs = None
+    if df_mode:
+        from dqmc_tpu.engine.df_sweep import df_aux_build
+        from dqmc_tpu.lattice import nn_bonds
+        bonds = nn_bonds(params.get_str("Lattice", "geometry", "square"))
+        U = params.get_float("hubbard", "U")
+        t = params.get_float("hubbard", "t")
+        mu = params.get_float("hubbard", "mu")
+        auxs = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[df_aux_build(lat, U=U, t=t, mu=mu, beta=b, nt=nt, bonds=bonds)
+              for b in betas])
     log(f"Parallel Tempering enabled: {R} replicas, betas={betas}, "
-        f"{lat.L1}x{lat.L2}, nt={nt}, dtype={dtype.__name__}, "
+        f"{lat.L1}x{lat.L2}, nt={nt}, "
+        f"dtype={'df32' if df_mode else dtype.__name__}, "
         f"backend={jax.default_backend()}")
 
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
-    states = jax.vmap(lambda m, k: init_state(m, cfg, k))(
-        models, jax.random.split(k_init, R))
+    if df_mode:
+        from dqmc_tpu.engine.df_sweep import init_state_df
+        states = jax.vmap(lambda m, a, k: init_state_df(m, a, cfg, k))(
+            models, auxs, jax.random.split(k_init, R))
+    else:
+        states = jax.vmap(lambda m, k: init_state(m, cfg, k))(
+            models, jax.random.split(k_init, R))
 
     # checkpoint / resume (same contract as the standard driver)
     ckpt_every = params.get_int("simulation", "checkpoint_every", 0)
@@ -253,19 +320,30 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
                          "attempt": attempt, "accepted": accepted,
                          "seed": seed})
 
-    step = jax.jit(jax.vmap(lambda m, s: sweep_pair(m, cfg, s)))
     uneq_fn = manager.uneq_measure_fn
     # symmetric=true warps the tau-resolved Green's functions too
     # (dqmc.cpp:300-312)
-    uneq_step = jax.jit(jax.vmap(
-        lambda m, s: sweep_unequal_time(m, cfg, s, measure_fn=uneq_fn,
-                                        warp=symmetric)))
+    if df_mode:
+        from dqmc_tpu.engine.df_sweep import df_sweep_pair, f32_view
+        step = jax.jit(jax.vmap(
+            lambda m, a, s: df_sweep_pair(m, a, cfg, s)))
+        step = partial(step, models, auxs)
+        uneq_step = jax.jit(jax.vmap(
+            lambda m, s: sweep_unequal_time(m, cfg, f32_view(s),
+                                            measure_fn=uneq_fn,
+                                            warp=symmetric)))
+    else:
+        _step = jax.jit(jax.vmap(lambda m, s: sweep_pair(m, cfg, s)))
+        step = partial(_step, models)
+        uneq_step = jax.jit(jax.vmap(
+            lambda m, s: sweep_unequal_time(m, cfg, s, measure_fn=uneq_fn,
+                                            warp=symmetric)))
     warp = jax.jit(jax.vmap(lambda m, G: half_warp(m, G)))
 
     t0 = time.perf_counter()
     if not therm_done:
         for _ in range(n_therms):
-            states = step(models, states)
+            states = step(states)
         jax.block_until_ready(states.G)
         save_ckpt()
     dt_therm = time.perf_counter() - t0
@@ -284,11 +362,15 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         if isweep % exchange_step == 0:
             attempt += 1
             key, k_ex = jax.random.split(key)
-            states, acc = replica_exchange(models, cfg, states,
-                                           jnp.asarray(attempt), k_ex,
-                                           f64_actions=f64_actions)
+            if df_mode:
+                states, acc = replica_exchange_df(auxs, cfg, states,
+                                                  jnp.asarray(attempt), k_ex)
+            else:
+                states, acc = replica_exchange(models, cfg, states,
+                                               jnp.asarray(attempt), k_ex,
+                                               f64_actions=f64_actions)
             accepted += float(jnp.mean(acc))
-        states = step(models, states)
+        states = step(states)
         if uneq and uneq_fn is not None:
             ys, err_u = uneq_step(models, states)
             manager.measure_unequal_result(ys)

@@ -423,20 +423,8 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     # adapted, and the measurement phase uses the settled schedule.
     if df_mode:
         # tau-resolved reconstruction runs the f32 uneq sweep on the
-        # hi-rounded df stack: each triplet starts from df-accurate
-        # (f32-representation-limited) factors, so the tau data carries
-        # f32 reconstruction noise but none of the f32 chain's
-        # accumulated stack drift
-        from dqmc_tpu.engine.state import WalkerState
-        from dqmc_tpu.ops.linalg import LDR
-
-        def _f32_view(s):
-            return WalkerState(
-                fields=s.fields, G=s.G,
-                stack=LDR(s.stack.L.hi, s.stack.d.hi, s.stack.R.hi),
-                log_det_M=s.log_det_M, key=s.key, acc_sum=s.acc_sum,
-                sign=s.sign, err_max=s.err_max, err_sum=s.err_sum,
-                err_count=s.err_count)
+        # hi-rounded df stack (see engine.df_sweep.f32_view)
+        from dqmc_tpu.engine.df_sweep import f32_view as _f32_view
 
         uneq_step = jax.jit(jax.vmap(
             lambda s: sweep_unequal_time(model, cfg, _f32_view(s),

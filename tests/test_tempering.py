@@ -254,3 +254,114 @@ sink = %s
     for k in outs["h5"]:
         np.testing.assert_allclose(outs["h5"][k], outs["spool"][k],
                                    rtol=0, atol=1e-13, err_msg=k)
+
+
+# ----------------------------------------------------------------------
+# df32 parity-grade PT (replica_exchange_df)
+# ----------------------------------------------------------------------
+
+def _df_pt_setup(betas, L=2, nt=8, n_stab=2, seed=3):
+    from dqmc_tpu.engine.df_sweep import df_aux_build, init_state_df
+    lat = square_lattice(L, L)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    m32 = stack_models([
+        AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=b, nt=nt,
+                                dtype=jnp.float32) for b in betas])
+    auxs = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[df_aux_build(lat, U=4.0, t=1.0, mu=-0.1, beta=b, nt=nt)
+          for b in betas])
+    states = jax.vmap(lambda m, a, k: init_state_df(m, a, cfg, k))(
+        m32, auxs, jax.random.split(jax.random.PRNGKey(seed), len(betas)))
+    return lat, cfg, m32, auxs, states
+
+
+def test_df_exchange_matches_f64_chain_decisions():
+    """df32 replica exchange must make the same decisions as an all-f64
+    replica set holding the same fields: the df actions (df log-det +
+    exact state-count bosonic dot) agree with f64 to ~1e-8, far inside
+    any decision boundary at these seeds."""
+    from dqmc_tpu.parallel.tempering import replica_exchange_df
+    betas = (2.0, 1.0, 3.0, 1.5)
+    lat, cfg, m32, auxs, s_df = _df_pt_setup(betas)
+    m64 = stack_models([
+        AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=b,
+                                nt=cfg.nt, dtype=jnp.float64)
+        for b in betas])
+    s64 = jax.vmap(lambda m, k: init_state(m, cfg, k))(
+        m64, jax.random.split(jax.random.PRNGKey(3), len(betas)))
+    np.testing.assert_array_equal(np.asarray(s64.fields),
+                                  np.asarray(s_df.fields))
+
+    for attempt in (1, 2, 3):
+        key = jax.random.PRNGKey(200 + attempt)
+        s64, acc64 = replica_exchange(m64, cfg, s64, jnp.asarray(attempt),
+                                      key)
+        s_df, accdf = replica_exchange_df(auxs, cfg, s_df,
+                                          jnp.asarray(attempt), key)
+        np.testing.assert_array_equal(np.asarray(acc64), np.asarray(accdf))
+        np.testing.assert_array_equal(np.asarray(s64.fields),
+                                      np.asarray(s_df.fields))
+        assert s_df.G.dtype == jnp.float32
+
+
+def test_df_exchange_action_accuracy():
+    """The df action itself must agree with the f64 global_action on the
+    same fields to ~1e-6 absolute (limited by the df log-det's refined
+    f32-QR diagonal, not the bosonic part) — six orders below the f32
+    chain's O(1..10) log-det bias."""
+    from dqmc_tpu.engine.df_sweep import df_global_action
+    from dqmc_tpu.engine.sweep import rebuild_stack_and_greens
+    betas = (3.0, 1.5)
+    lat, cfg, m32, auxs, s_df = _df_pt_setup(betas)
+    m64 = stack_models([
+        AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=b,
+                                nt=cfg.nt, dtype=jnp.float64)
+        for b in betas])
+    _, _, ld64 = jax.vmap(
+        lambda m, f: rebuild_stack_and_greens(m, cfg, f))(m64, s_df.fields)
+    S64 = np.asarray(jax.vmap(lambda m, f, ld: m.global_action(f, ld))(
+        m64, s_df.fields, ld64))
+    Sdf = np.asarray(jax.vmap(
+        lambda a, f, ld: df_global_action(a, f, ld))(
+            auxs, s_df.fields, s_df.log_det_M))
+    np.testing.assert_allclose(Sdf, S64, rtol=0, atol=5e-6)
+
+
+def test_pt_driver_df32_end_to_end(tmp_path):
+    cfgtext = """
+[Lattice]
+L1 = 2
+L2 = 2
+[hubbard]
+U = 4.0
+t = 1.0
+mu = 0.0
+[simulation]
+beta = 2.0
+nt = 8
+n_therms = 2
+n_sweeps = 2
+n_bins = 2
+n_stab = 2
+seed = 7
+dtype = df32
+site_update = scan
+[ParallelTempering]
+enabled = true
+sweep_steps = 2
+betas = 2.0, 1.0
+"""
+    params = Parameters.from_string(cfgtext)
+    from dqmc_tpu.run import run_simulation
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        summary = run_simulation(params, out_dir=str(tmp_path / "results"),
+                                 verbose=False)
+    finally:
+        os.chdir(cwd)
+    assert summary.n_walkers == 2
+    assert 0.0 <= summary.exchange_rate <= 1.0
+    for r in range(2):
+        assert (tmp_path / "results" / f"data_{r}.h5").exists()
