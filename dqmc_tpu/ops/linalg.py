@@ -316,10 +316,11 @@ def _qr_solve_logdet(A: jax.Array, B: jax.Array):
             jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))), axis=-1)
         return X, logabs
     if _f32_mode() == "cgs2":
-        from dqmc_tpu.ops.qr_kernel import cgs2_qr
-        Q, R = cgs2_qr(A)
-        X = jax.lax.linalg.triangular_solve(
-            R, jnp.swapaxes(Q, -1, -2) @ B, left_side=True, lower=False)
+        # in-kernel R^{-1}: the solve is two MXU matmuls, no
+        # TriangularSolve custom call (see qr_kernel.cgs2_qr_inv)
+        from dqmc_tpu.ops.qr_kernel import cgs2_qr_inv
+        Q, R, W = cgs2_qr_inv(A)
+        X = W @ (jnp.swapaxes(Q, -1, -2) @ B)
         logabs = jnp.sum(
             jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))), axis=-1)
         return X, logabs
@@ -438,16 +439,21 @@ def inv_triplet_dag(F1: LDR, F2t: LDR):
     Y0t = d2s[..., :, None] * F2t.R                     # RHS for M^T
 
     if M.dtype == jnp.float32 and _f32_mode() == "cgs2":
-        from dqmc_tpu.ops.qr_kernel import cgs2_qr
-        Q, R = cgs2_qr(M)
+        # in-kernel R^{-1} serves both orientations: X = W (Q^T Y) and
+        # M^T x = y => x = Q W^T y — no TriangularSolve custom calls
+        from dqmc_tpu.ops.qr_kernel import cgs2_qr_inv
+        Q, R, W = cgs2_qr_inv(M)
+        QT = jnp.swapaxes(Q, -1, -2)
+        X = W @ (QT @ Y)
+        Xt = Q @ (jnp.swapaxes(W, -1, -2) @ Y0t)
     else:
         Q, R = jnp.linalg.qr(M)
-    QT = jnp.swapaxes(Q, -1, -2)
-    X = jax.lax.linalg.triangular_solve(R, QT @ Y, left_side=True,
-                                        lower=False)
-    # M^T x = y  =>  x = Q R^{-T} y (lower-triangular solve with R^T)
-    Xt = Q @ jax.lax.linalg.triangular_solve(
-        jnp.swapaxes(R, -1, -2), Y0t, left_side=True, lower=True)
+        QT = jnp.swapaxes(Q, -1, -2)
+        X = jax.lax.linalg.triangular_solve(R, QT @ Y, left_side=True,
+                                            lower=False)
+        # M^T x = y  =>  x = Q R^{-T} y (lower-triangular solve with R^T)
+        Xt = Q @ jax.lax.linalg.triangular_solve(
+            jnp.swapaxes(R, -1, -2), Y0t, left_side=True, lower=True)
     logabs = jnp.sum(
         jnp.log(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1))), axis=-1)
     log_det = (jnp.sum(jnp.log(d1l), axis=-1)

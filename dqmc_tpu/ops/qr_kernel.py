@@ -30,20 +30,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 32
 _GROUP = 8
+_VMEM_LIMIT_QR = 100 * 2**20   # v5e has 128 MB; the 16 MB default starves
 
 
-def _cgs2_kernel(n_panels, block, group, at_in_ref, qt_ref, rt_ref):
+def _cgs2_kernel(n_panels, block, group, at_in_ref, qt_ref, rt_ref,
+                 wt_ref=None, st_ref=None):
     """In-place CGS2 on transposed matrices.
 
     at_in (B, n, n): rows are the columns of A (aliased with qt output).
     qt (B, n, n): rows are the columns of Q.
     rt (B, n, n): RT[b, j, i] = R[i, j].
+    wt (B, n, n), optional: W^T with W = R^{-1}, produced by blocked
+    forward substitution on R^T (lower triangular): inside each panel only
+    the 32x32 diagonal-block inverse S^T = (R^T_PP)^{-1} is accumulated
+    (one (1, 32) x (32, 32) dot per column — the rg row's diagonal entry
+    meets a still-zero S row, so no masking is needed), and at panel end
+    the full rows land in two MXU matmuls,
+        W^T[P, :] = S^T (E_P - R^T[P, :] W^T),
+    where W^T rows >= p are still zero so the unmasked product is exactly
+    the cross-panel correction.  A per-column full-width accumulation
+    ((1, n) x (n, n) per column) was measured SLOWER than the external
+    triangular-solve custom call it replaces; this blocked form adds ~one
+    n^3-equivalent of MXU work total.
+    st (B, block, block) scratch holds S^T (required when wt is given).
     """
     B, n, _ = qt_ref.shape
     dtype = qt_ref.dtype
     qt_ref[...] = at_in_ref[...]
     rt_ref[...] = jnp.zeros_like(rt_ref)
+    if wt_ref is not None:
+        wt_ref[...] = jnp.zeros_like(wt_ref)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, block), 2)
 
     def dot_bn(X, Y):
         # (B, a, n) x (B, c, n) -> (B, a, c), contracting lanes
@@ -110,6 +128,17 @@ def _cgs2_kernel(n_panels, block, group, at_in_ref, qt_ref, rt_ref):
                 q = y / safe[:, :, None]
                 qt_ref[:, pl.ds(p + j + t, 1), :] = q
                 rg = rg + (c2 + nrm * onehot_t)[:, None, :] * grow
+                if wt_ref is not None:
+                    # panel-local inverse row: s_t = (e_t - rg_t S^T)/r_tt.
+                    # rg row t is complete in-panel as of the line above;
+                    # its diagonal entry meets a still-zero S row, so the
+                    # self-term contributes exactly 0.
+                    contrib = mat_bn(rg[:, t:t + 1, :], st_ref[...])
+                    e_t = jnp.where(lane_blk == j + t,
+                                    jnp.asarray(1.0, dtype),
+                                    jnp.asarray(0.0, dtype))
+                    st_ref[:, pl.ds(j + t, 1), :] = \
+                        (e_t - contrib) / safe[:, :, None]
                 if t < group - 1:
                     # complete pass 1 of the remaining in-group columns
                     # against the fresh q (batched rank-1).  Computed for
@@ -130,13 +159,29 @@ def _cgs2_kernel(n_panels, block, group, at_in_ref, qt_ref, rt_ref):
                 rg, ((0, 0), (0, 0), (p, n - p - block)))
             return jnp.int32(0)  # i32 carry: i64 does not lower in Mosaic
 
+        if wt_ref is not None:
+            st_ref[...] = jnp.zeros_like(st_ref)
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(block // group), col_group,
                           jnp.int32(0))
+        if wt_ref is not None:
+            # blocked forward substitution: the panel's W^T rows in two
+            # MXU matmuls.  rt rows [p, p+block) are complete (external C
+            # plus in-panel rg); wt rows >= p are still zero, so the
+            # unmasked R^T[P, :] @ W^T is exactly the cross-panel term.
+            eP = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, block, n), 2)
+                == p + jax.lax.broadcasted_iota(jnp.int32, (1, block, n), 1),
+                jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+            X = jnp.broadcast_to(eP, (B, block, n))
+            if ip:
+                X = X - mat_bn(rt_ref[:, p:p + block, :], wt_ref[...])
+            wt_ref[:, p:p + block, :] = mat_bn(st_ref[...], X)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
-    """(Q, R) for a flat batch A (B, n, n); n must be a multiple of 32."""
+@functools.partial(jax.jit, static_argnames=("interpret", "with_inv"))
+def _cgs2_qr_impl(A: jax.Array, interpret: bool = False,
+                  with_inv: bool = False):
+    """(Q, R[, Rinv]) for a flat batch A (B, n, n); n a multiple of 32."""
     B, n, _ = A.shape
     dtype = A.dtype
     kern = functools.partial(_cgs2_kernel, n // _BLOCK, _BLOCK, _GROUP)
@@ -148,7 +193,8 @@ def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
     # measured: 4 matrices at n=1024 needed 111 MB => ~7 (n, n_pad) buffers
     # per matrix live (QT aliased with input + RT + pipeline double-buffers
     # + panel temporaries)
-    per = 7 * n * n_pad * jnp.dtype(dtype).itemsize
+    n_bufs = 9 if with_inv else 7      # + WT and its pipeline buffer
+    per = n_bufs * n * n_pad * jnp.dtype(dtype).itemsize
     WB = max(1, min(B, (80 * 2**20) // per))
     while B % WB:
         WB -= 1
@@ -161,19 +207,22 @@ def _cgs2_qr_impl(A: jax.Array, interpret: bool = False):
     zero = _np.int32(0)
     spec = pl.BlockSpec((WB, n, n), lambda i: (i, zero, zero),
                         memory_space=pltpu.VMEM)
-    QT, RT = pl.pallas_call(
+    n_out = 3 if with_inv else 2
+    out = pl.pallas_call(
         kern,
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((B, n, n), dtype),
-                   jax.ShapeDtypeStruct((B, n, n), dtype)),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, n, n), dtype)
+                        for _ in range(n_out)),
         in_specs=[spec],
-        out_specs=(spec, spec),
+        out_specs=tuple(spec for _ in range(n_out)),
+        scratch_shapes=([pltpu.VMEM((WB, _BLOCK, _BLOCK), dtype)]
+                        if with_inv else []),
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=_VMEM_LIMIT_QR),
         interpret=interpret,
     )(AT)
-    return jnp.swapaxes(QT, -1, -2), jnp.swapaxes(RT, -1, -2)
+    return tuple(jnp.swapaxes(x, -1, -2) for x in out)
 
 
 @jax.custom_batching.custom_vmap
@@ -231,3 +280,68 @@ def cgs2_qr(A: jax.Array):
     lead = A.shape[:-2]
     Q, R = _cgs2_qr_flat(A.reshape((-1, n, n)))
     return Q.reshape(lead + (n, n)), R.reshape(lead + (n, n))
+
+
+# ---- (Q, R, R^-1) variant: the stabilization solve without a
+# triangular-solve custom call ------------------------------------------
+
+@jax.custom_batching.custom_vmap
+def _cgs2_qr_inv_flat(A: jax.Array):
+    interpret = jax.default_backend() == "cpu"
+    return _cgs2_qr_impl(A, interpret=interpret, with_inv=True)
+
+
+@_cgs2_qr_inv_flat.def_vmap
+def _cgs2_qr_inv_flat_vmap(axis_size, in_batched, A):
+    B2, B = axis_size, A.shape[1]
+    n = A.shape[-1]
+    out = _cgs2_qr_inv_flat(A.reshape(B2 * B, n, n))
+    return tuple(x.reshape(B2, B, n, n) for x in out), (True,) * 3
+
+
+@jax.custom_batching.custom_vmap
+def _cgs2_qr_inv_single(A: jax.Array):
+    interpret = jax.default_backend() == "cpu"
+    out = _cgs2_qr_impl(A[None], interpret=interpret, with_inv=True)
+    return tuple(x[0] for x in out)
+
+
+@_cgs2_qr_inv_single.def_vmap
+def _cgs2_qr_inv_single_vmap(axis_size, in_batched, A):
+    return _cgs2_qr_inv_flat(A), (True,) * 3
+
+
+def cgs2_qr_inv(A: jax.Array):
+    """Batched (Q, R, R^{-1}) via the Pallas CGS2 kernel.
+
+    Same factorization as :func:`cgs2_qr` with W = R^{-1} produced
+    in-kernel by blocked forward substitution (a (1, 32) x (32, 32) dot
+    per column plus two MXU matmuls per 32-column panel) — so the
+    stabilized M-solve becomes two plain matmuls, X = R^{-1} (Q^T Y),
+    replacing XLA's TriangularSolve custom call (~0.32 ms at
+    (16, 256, 256), i.e. ~80% of a whole factorization).
+    Numerics: applying an explicit triangular inverse has the same
+    cond(R)-scaled error envelope as substitution for these equilibrated
+    M systems; pinned on the real chain in tests/test_qr_kernel.py.
+
+    Non-multiple-of-32 sizes use the same exact identity padding as
+    cgs2_qr (the padded W is block-diagonal, so the top-left block IS
+    the unpadded inverse).
+    """
+    n = A.shape[-1]
+    if A.shape[-2] != n:
+        raise ValueError("cgs2_qr_inv: square matrices only")
+    pad = (-n) % _BLOCK
+    if pad:
+        np_ = n + pad
+        eye_blk = jnp.eye(pad, dtype=A.dtype)
+        Ap = jnp.zeros(A.shape[:-2] + (np_, np_), A.dtype)
+        Ap = Ap.at[..., :n, :n].set(A)
+        Ap = Ap.at[..., n:, n:].set(eye_blk)
+        Q, R, W = cgs2_qr_inv(Ap)
+        return Q[..., :n, :n], R[..., :n, :n], W[..., :n, :n]
+    if A.ndim == 2:
+        return _cgs2_qr_inv_single(A)
+    lead = A.shape[:-2]
+    out = _cgs2_qr_inv_flat(A.reshape((-1, n, n)))
+    return tuple(x.reshape(lead + (n, n)) for x in out)

@@ -108,3 +108,31 @@ def test_cgs2_chain_accuracy_matches_householder():
     # --xla_backend_optimization_level=0)
     assert errs["cgs2"] < 10 * errs["householder"] + 1e-4, errs
     assert errs["cgs2"] < 2e-2, errs
+
+
+def test_cgs2_qr_inv_matches_solve(rng):
+    """In-kernel R^{-1}: W must invert R to f32 quality and reproduce the
+    triangular-solve result; identity padding and vmap flattening hold."""
+    from dqmc_tpu.ops.qr_kernel import cgs2_qr_inv
+    n = 64
+    d = np.exp(np.linspace(3, -3, n))
+    A = jnp.asarray(rng.standard_normal((3, n, n)) * d[None, None, :],
+                    jnp.float32)
+    Q, R, W = jax.vmap(cgs2_qr_inv)(A)
+    eye = np.eye(n)
+    # W R = I to cond-scaled f32 accuracy
+    res = np.abs(np.asarray(W @ R, np.float64) - eye).max()
+    assert res < 1e-3, res
+    # the solve path X = W (Q^T Y) matches triangular_solve
+    Y = jnp.asarray(rng.standard_normal((3, n, 8)), jnp.float32)
+    X_w = np.asarray(W @ (jnp.swapaxes(Q, -1, -2) @ Y), np.float64)
+    X_t = np.asarray(jax.lax.linalg.triangular_solve(
+        R, jnp.swapaxes(Q, -1, -2) @ Y, left_side=True, lower=False),
+        np.float64)
+    scale = np.abs(X_t).max()
+    assert np.abs(X_w - X_t).max() / scale < 1e-4
+    # unaligned size goes through exact identity padding
+    m = 24
+    Am = jnp.asarray(rng.standard_normal((m, m)), jnp.float32)
+    Qm, Rm, Wm = cgs2_qr_inv(Am)
+    assert np.abs(np.asarray(Wm @ Rm, np.float64) - np.eye(m)).max() < 1e-4
