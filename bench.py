@@ -136,6 +136,83 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     return rate, err, acc
 
 
+def measured_throughput(n_walkers: int, reps: int, dtype_name: str):
+    """Full measured-iteration throughput: one equal-time sweep pair + the
+    unequal-time triplet sweep with the fused per-tau measurement reduction
+    + the equal-time measurement — the reference's per-sweep unit during the
+    measurement phase (main.cpp:156-165).  Returns (rate, err_uneq, acc)."""
+    import tempfile
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+    from dqmc_tpu import compile_cache
+    compile_cache.enable()
+    import jax.numpy as jnp
+    from dqmc_tpu.engine import (EngineConfig, init_state, reset_error_stats,
+                                 sweep_pair)
+    from dqmc_tpu.engine.fused import supports_fused, sweep_pair_fused
+    from dqmc_tpu.engine.uneqtime import sweep_unequal_time
+    from dqmc_tpu.lattice import square_lattice
+    from dqmc_tpu.measure.manager import MeasurementManager
+    from dqmc_tpu.models import AttractiveHubbard
+
+    if dtype_name == "df32":
+        raise NotImplementedError("--measured: float32/float64 only")
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+    log(f"benchmark device: {jax.devices()[0]} dtype={dtype_name} (measured)")
+    lat = square_lattice(L, L)
+    model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
+                                    nt=NT, dtype=dtype)
+    cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=dtype == jnp.float32)
+    fused = dtype == jnp.float32 and supports_fused(model, cfg)
+
+    manager = MeasurementManager(lat, n_walkers=n_walkers,
+                                 measure_unequal=True, dtype=dtype,
+                                 out_dir=tempfile.mkdtemp(prefix="dqmc_mb_"))
+    manager.add_defaults()
+    uneq_fn = manager.uneq_measure_fn
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
+    t0 = time.perf_counter()
+    states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
+    jax.block_until_ready(states.G)
+    log(f"init: {time.perf_counter() - t0:.1f}s")
+
+    sweep = (jax.jit(lambda s: sweep_pair_fused(model, cfg, s)) if fused
+             else jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s))))
+    uneq_step = jax.jit(jax.vmap(
+        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
+
+    def one_iter(states):
+        states = sweep(states)
+        ys, err_u = uneq_step(states)
+        manager.measure_unequal_result(ys)
+        manager.measure_equal(states.G)
+        return states, err_u
+
+    t0 = time.perf_counter()
+    states, err_u = one_iter(states)
+    jax.block_until_ready(err_u)
+    log(f"measured-iter compile+first: {time.perf_counter() - t0:.1f}s")
+    states = jax.jit(jax.vmap(reset_error_stats))(states)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        states, err_u = one_iter(states)
+    jax.block_until_ready(err_u)
+    dt = time.perf_counter() - t0
+    rate = n_walkers * reps / dt
+    n_iters = reps + 1
+    acc = float(states.acc_sum.mean()) / (2 * n_iters)
+    err = float(jnp.max(err_u))
+    log(f"TPU {dtype_name}: {n_walkers * reps} measured walker-iters in "
+        f"{dt:.2f}s -> {rate:.2f} measured sweeps/s/chip")
+    log(f"acc={acc:.3f} uneq err_max={err:.2e}")
+    return rate, err, acc
+
+
 _BASELINE_SCRIPT = r"""
 import json, time, sys
 import jax
@@ -211,6 +288,10 @@ def main():
                    help="dtype for the primary number (df32 = the hybrid "
                         "double-float32 parity engine, ~1e-8 fixed-field "
                         "accuracy at beta=8 from pure f32 hardware ops)")
+    p.add_argument("--measured", action="store_true",
+                   help="benchmark the full measured iteration (sweep pair "
+                        "+ unequal-time sweep + measurements) instead of "
+                        "the bare sweep pair")
     args = p.parse_args()
 
     L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
@@ -224,6 +305,27 @@ def main():
     # the strict f64 mode stays available via --dtype float64 at ~28x
     # less throughput).  Runs in a SUBPROCESS so its compile cache and
     # device context stay isolated from the primary measurement.
+    if args.measured:
+        rate, err, acc = measured_throughput(walkers, max(args.reps, 2),
+                                             args.dtype)
+        baseline = (float("nan") if args.skip_baseline
+                    or args.config != "headline" else cpu_baseline())
+        have_base = baseline == baseline and baseline > 0
+        print(json.dumps({
+            "metric": f"measured sweeps/sec/chip ({L}x{L} beta={BETA} "
+                      f"U={U} Hubbard, nt={NT}, {args.dtype}, {walkers} "
+                      f"walkers, uneq+measure fused)",
+            "value": round(rate, 3),
+            "unit": "measured sweeps/s/chip",
+            # the bare-sweep baseline: measured iterations do strictly more
+            # work per unit, so vs_baseline stays conservative
+            "vs_baseline": (round(rate / baseline, 2) if have_base
+                            else None),
+            "err_uneq_max": err,
+            "acc": round(acc, 4),
+        }))
+        return
+
     parity_raw = None
     parity_dtype = "df32"
     if not args.skip_parity and args.dtype == "float32" \

@@ -87,15 +87,54 @@ def sweep_unequal_time(model, cfg: EngineConfig, state: WalkerState,
             return raw_emit(half_warp(model, a), half_warp(model, b),
                             half_warp(model, c), half_warp(model, g00))
 
-    ls, i_stacks, do_stabs = cfg.slice_schedule(forward=True)
-    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
+    # Block-structured scan: the stabilization schedule is STATIC (stab at
+    # each stack's last slice, dqmc.cpp:369), so the sweep scans over
+    # stacks with the n_stab propagation slices unrolled inline and the
+    # restabilization placed at the block end — no per-slice lax.cond.
+    # The cond formulation (still used by the chunked iterator, whose tau
+    # boundaries don't align with stacks) costs ~6 full-GF carry copies
+    # per slice on TPU (~10 ms of a 91 ms measured sweep, traced).
+    n_stab = cfg.n_stab
+    n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
+    emit3 = lambda a, b, c: emit(a, b, c, G00)
+
+    prop = _uneq_prop(model, state)
+    stab = _uneq_stab(state, eyeB)
+
+    def block(carry, i_stack, n_slices):
+        l0 = i_stack * n_stab
+        cs = []
+        err = jnp.zeros((), dtype)
+        for k in range(n_slices):
+            carry = prop(carry, l0 + k)
+            if k == n_slices - 1:
+                carry, err = stab(carry, i_stack)
+            cs.append((carry[0], carry[1], carry[2]))
+        # ONE measurement emit per block, vmapped over the stacked slice
+        # axis: the per-tau reductions become (n_slices)-batched matmuls
+        # (better MXU shapes) and the scan body carries a single emit's HLO
+        # instead of n_stab unrolled copies (cold compile time)
+        triplets = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *cs)
+        ys = jax.vmap(emit3)(*triplets)
+        return carry, ys, err
+
+    def scan_body(c, i_stack):
+        carry, emax = c
+        carry, ys, err = block(carry, i_stack, n_stab)
+        return (carry, jnp.maximum(emax, err)), ys
 
     Bt0_init = slot_get(identity_stack(nfl, 1, ns, dtype), 0)
-
-    step = _uneq_step(model, cfg, state, lambda a, b, c: emit(a, b, c, G00),
-                      eyeB)
-    carry0 = (Gtt0, Gt00, G0t0, Bt0_init, eyeB, jnp.zeros((), dtype))
-    (_, _, _, _, _, err_max), ys = jax.lax.scan(step, carry0, xs)
+    carry0 = (Gtt0, Gt00, G0t0, Bt0_init, eyeB)
+    (carry, err_max), ys = jax.lax.scan(
+        scan_body, (carry0, jnp.zeros((), dtype)),
+        jnp.arange(n_full, dtype=jnp.int32))
+    ys = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_full * n_stab,) + a.shape[2:]), ys)
+    if rem:
+        carry, ys_t, err_t = block(carry, jnp.int32(n_full), rem)
+        err_max = jnp.maximum(err_max, err_t)
+        ys = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), ys, ys_t)
 
     y0 = emit(Gtt0, Gt00, G0t0, G00)
     ys = jax.tree_util.tree_map(
@@ -167,14 +206,11 @@ def _uneq_segment(model, cfg, state, carry, start, *, n, warp):
     return jax.lax.scan(step, carry, xs)
 
 
-def _uneq_step(model, cfg, state, emit, eyeB):
-    """The shared per-slice scan body of the unequal-time sweep (without
-    the equal-time G00 argument in emit — used by the chunked iterator)."""
-    dtype = model.dtype
+def _uneq_prop(model, state):
+    """One propagation slice on the (Gtt, Gt0, G0t, Bt0, Bbar) carry."""
 
-    def step(carry, x):
-        Gtt, Gt0, G0t, Bt0, Bbar, emax = carry
-        l, i_stack, do_stab = x
+    def prop(carry, l):
+        Gtt, Gt0, G0t, Bt0, Bbar = carry
         fields_l = jnp.take(state.fields, l, axis=0)
         # batch the slice's five B-applications into two stacked GEMMs
         # (dqmc.cpp:223-246 does them one by one): B @ [Gtt, Gt0, Bbar]
@@ -182,28 +218,48 @@ def _uneq_step(model, cfg, state, emit, eyeB):
         # dispatches per slice instead of 5 and expV built twice not five
         # times
         BL = apply_B_left(model, fields_l, jnp.stack([Gtt, Gt0, Bbar]))
-        Gt0, Bbar = BL[1], BL[2]
         BR = apply_invB_right(model, fields_l, jnp.stack([BL[0], G0t]))
-        Gtt, G0t = BR[0], BR[1]
+        return (BR[0], BL[1], BR[1], Bt0, BL[2])
 
-        def stab(args):
-            Gtt, Gt0, G0t, Bt0, Bbar = args
-            Bt0 = _mat_mul_ldr_f(Bbar, Bt0)
-            Bbt = slot_get(state.stack, i_stack + 2)
-            Gtt_n, Gt0_n, G0t_n, _ = _inv_triplet_f(Bt0, Bbt)
-            err = jnp.maximum(
-                jnp.max(jnp.abs(Gtt - Gtt_n)),
-                jnp.maximum(jnp.max(jnp.abs(Gt0 - Gt0_n)),
-                            jnp.max(jnp.abs(G0t - G0t_n))))
-            return Gtt_n, Gt0_n, G0t_n, Bt0, eyeB, err
+    return prop
 
-        def no_stab(args):
-            Gtt, Gt0, G0t, Bt0, Bbar = args
-            return Gtt, Gt0, G0t, Bt0, Bbar, jnp.zeros((), dtype)
 
-        Gtt, Gt0, G0t, Bt0, Bbar, err = jax.lax.cond(
-            do_stab, stab, no_stab, (Gtt, Gt0, G0t, Bt0, Bbar))
+def _uneq_stab(state, eyeB):
+    """Block-end restabilization of the triplet from (B(tau,0), B(beta,tau));
+    returns the new carry and the check_error-style max deviation."""
+
+    def stab(carry, i_stack):
+        Gtt, Gt0, G0t, Bt0, Bbar = carry
+        Bt0 = _mat_mul_ldr_f(Bbar, Bt0)
+        Bbt = slot_get(state.stack, i_stack + 2)
+        Gtt_n, Gt0_n, G0t_n, _ = _inv_triplet_f(Bt0, Bbt)
+        err = jnp.maximum(
+            jnp.max(jnp.abs(Gtt - Gtt_n)),
+            jnp.maximum(jnp.max(jnp.abs(Gt0 - Gt0_n)),
+                        jnp.max(jnp.abs(G0t - G0t_n))))
+        return (Gtt_n, Gt0_n, G0t_n, Bt0, eyeB), err
+
+    return stab
+
+
+def _uneq_step(model, cfg, state, emit, eyeB):
+    """The per-slice lax.cond scan body — used by the chunked iterator,
+    whose tau-chunk boundaries do not align with stabilization blocks.
+    (sweep_unequal_time itself uses the block-structured scan above, which
+    avoids the cond's per-slice carry copies.)"""
+    dtype = model.dtype
+    prop = _uneq_prop(model, state)
+    stab = _uneq_stab(state, eyeB)
+
+    def step(carry, x):
+        *c5, emax = carry
+        l, i_stack, do_stab = x
+        c5 = prop(tuple(c5), l)
+
+        c5, err = jax.lax.cond(
+            do_stab, lambda a: stab(a, i_stack),
+            lambda a: (a, jnp.zeros((), dtype)), c5)
         emax = jnp.maximum(emax, err)
-        return (Gtt, Gt0, G0t, Bt0, Bbar, emax), emit(Gtt, Gt0, G0t)
+        return c5 + (emax,), emit(c5[0], c5[1], c5[2])
 
     return step

@@ -144,10 +144,30 @@ class MeasurementManager:
         if self._uneq_measure_fn is None:
             ctx = self.ctx
             uneq_fns = dict(self._uneq_fns)
+            ns = ctx.n_sites
 
             def emit(Gtt, Gt0, G0t, G00):
-                return {name: site_to_r(fn(Gtt, Gt0, G0t, G00, ctx), ctx)
+                vals = {name: fn(Gtt, Gt0, G0t, G00, ctx)
                         for name, fn in uneq_fns.items()}
+                out = {}
+                # stack all plain (ns, ns) observables into ONE pair-matmul
+                # site->r reduction so the one-hot matrix streams from HBM
+                # once per tau (site_to_r_batched), not once per observable
+                batch = [n for n, v in vals.items()
+                         if ctx.pair_reduce is not None
+                         and v.shape == (ns, ns)]
+                if len(batch) > 1:
+                    from dqmc_tpu.measure.transforms import site_to_r_batched
+                    red = site_to_r_batched(
+                        jnp.stack([vals[n] for n in batch]), ctx)
+                    for i, n in enumerate(batch):
+                        out[n] = red[i]
+                else:
+                    batch = []
+                for name, v in vals.items():
+                    if name not in out:
+                        out[name] = site_to_r(v, ctx)
+                return out
 
             self._uneq_measure_fn = emit
         return self._uneq_measure_fn

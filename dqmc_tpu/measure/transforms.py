@@ -28,16 +28,44 @@ import jax.numpy as jnp
 from dqmc_tpu.measure.context import MeasurementContext
 
 
+def site_to_r_batched(chis, ctx: MeasurementContext):
+    """chis (..., ns, ns) -> (..., L1, L2, n_orb^2) displacement arrays,
+    averaged over cells, via ONE dense one-hot matmul.
+
+    The site-pair axes flatten row-major into the contracted axis with no
+    transposes, so the whole reduction is a single
+    (..., ns^2) x (ns^2, L1*L2*no^2) dot on the MXU.  This replaces the
+    separable shift-tensor einsums for the per-tau unequal-time
+    measurements, whose XLA:TPU lowering (convolution kernels + layout
+    copies) cost ~60 ms of a 138 ms measured sweep at L=16, nt=160.
+    Stack observables on a leading axis so the one-hot matrix streams from
+    HBM once per tau.  Requires ctx.pair_reduce (built for lattices where
+    the one-hot fits; see context._pair_reduce_matrix).
+    """
+    ns = ctx.n_sites
+    lead = chis.shape[:-2]
+    X = chis.reshape(lead + (ns * ns,))
+    D = ctx.pair_reduce.astype(chis.dtype)
+    out = jnp.einsum("...k,kd->...d", X, D,
+                     precision=jax.lax.Precision.HIGHEST) / ctx.n_cells
+    return out.reshape(lead + (ctx.L1, ctx.L2, ctx.n_orb * ctx.n_orb))
+
+
 def site_to_r(chi, ctx: MeasurementContext):
     """chi (ns, ns) or (ns, ns, S) site-pair array -> (L1, L2, n_orb^2 * S)
     displacement array, averaged over cells (1/n_cells, measurementh5.h:61).
 
-    The cell translation is separable (cell = uy*L1 + ux translates
-    per-axis), so the displacement reduction runs as TWO dense einsums
-    against one-hot cyclic-shift tensors — pure MXU work.  The equivalent
-    gather formulation costs ~0.27 ms per (256, 256) call on TPU (XLA
-    gathers are element-at-a-time) and dominated measured unequal-time
-    sweeps at 3 observables x nt+1 taus.
+    Two equivalent TPU formulations (brute-force-pinned in
+    tests/test_transforms.py):
+
+    - pair-matmul (default when ctx.pair_reduce exists): one dense one-hot
+      contraction over flattened site pairs — see site_to_r_batched.
+    - separable einsums: the cell translation is separable (cell =
+      uy*L1 + ux translates per-axis), so the reduction runs as TWO dense
+      einsums against one-hot cyclic-shift tensors.  Used when the pair
+      matrix would be too large.  (A gather formulation costs ~0.27 ms per
+      (256, 256) call on TPU — gathers are element-at-a-time — and is not
+      used at all.)
     """
     nc, no = ctx.n_cells, ctx.n_orb
     L1, L2 = ctx.L1, ctx.L2
@@ -46,6 +74,10 @@ def site_to_r(chi, ctx: MeasurementContext):
         chi = chi[..., None]
     S = chi.shape[-1]
     dt = chi.dtype
+    if ctx.pair_reduce is not None:
+        out = site_to_r_batched(jnp.moveaxis(chi, -1, 0), ctx)  # (S,L1,L2,ab)
+        # reference flat layout: (a*n_orb + b)*S + s  (measurementh5.h:61)
+        return jnp.moveaxis(out, 0, -1).reshape(L1, L2, no * no * S)
     # cell index = uy * L1 + ux  =>  (y, x) cell-major axes
     chi7 = chi.reshape(L2, L1, no, L2, L1, no, S)
     # out[dx, dy, a, b, s] =

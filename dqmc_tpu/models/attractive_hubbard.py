@@ -172,10 +172,13 @@ class AttractiveHubbard:
     def expV_diag(self, fields_l: jax.Array) -> jax.Array:
         """diag of exp(+V): (nfl, ns) = exp(g * eta(s)) (model.cpp:62-72).
 
-        Spin-symmetric: one stored flavor.
+        Spin-symmetric: one stored flavor.  The 4-entry eta table lookup
+        runs as a where-select chain (hsfield.select4): an indexed gather
+        lowers to an element-at-a-time XLA:TPU gather (~5 ms per measured
+        uneq sweep at nt=160, traced).
         """
-        v = jnp.exp(self.g * self.eta[fields_l])
-        return v[None, :]
+        from dqmc_tpu.hsfield import select4
+        return jnp.exp(self.g * select4(self.eta, fields_l))[None, :]
 
     def B_mats(self, fields_l: jax.Array):
         """B_l = diag(expV) @ expK and its inverse, shape (nfl, ns, ns)."""

@@ -97,8 +97,11 @@ class RepulsiveHubbard:
     # ------------------------------------------------------------------
 
     def expV_diag(self, fields_l: jax.Array) -> jax.Array:
-        """(2, ns): up sees exp(+g eta), down sees exp(-g eta)."""
-        v = self.g * self.eta[fields_l]
+        """(2, ns): up sees exp(+g eta), down sees exp(-g eta).
+
+        Table lookup as a select chain — see AttractiveHubbard.expV_diag."""
+        from dqmc_tpu.hsfield import select4
+        v = self.g * select4(self.eta, fields_l)
         return jnp.stack([jnp.exp(v), jnp.exp(-v)])
 
     def B_mats(self, fields_l: jax.Array):

@@ -74,6 +74,32 @@ def test_site_to_r_matches_brute(rng):
     np.testing.assert_allclose(got3, want3, atol=1e-12)
 
 
+def test_site_to_r_pair_matmul_matches_einsum(rng):
+    """Both site->r formulations (one-hot pair matmul vs separable shift
+    einsums) must agree exactly, including multi-orbital lattices and the
+    leading-batch entry point used by the fused uneq measurement."""
+    import dataclasses
+    from dqmc_tpu.lattice import honeycomb_lattice
+    from dqmc_tpu.measure.transforms import site_to_r_batched
+
+    for lat in (square_lattice(4, 6), honeycomb_lattice(3, 3)):
+        ctx = make_context(lat)
+        assert ctx.pair_reduce is not None
+        ctx_no_pair = dataclasses.replace(ctx, pair_reduce=None)
+        ns = lat.n_sites
+        chi = rng.standard_normal((ns, ns, 2))
+        got = np.asarray(site_to_r(jnp.asarray(chi), ctx))
+        want = np.asarray(site_to_r(jnp.asarray(chi), ctx_no_pair))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        # leading-batch entry: (B, ns, ns) -> (B, L1, L2, no^2)
+        chis = jnp.asarray(rng.standard_normal((3, ns, ns)))
+        red = np.asarray(site_to_r_batched(chis, ctx))
+        for b in range(3):
+            one = np.asarray(site_to_r(chis[b], ctx_no_pair))
+            np.testing.assert_allclose(
+                red[b], one.reshape(red[b].shape), atol=1e-12)
+
+
 def test_r_to_k_matches_brute(rng):
     lat = square_lattice(4, 4)
     ctx = make_context(lat)

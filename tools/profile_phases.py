@@ -55,6 +55,10 @@ def main():
                    default="float32")
     p.add_argument("--top", type=int, default=0,
                    help="also print the N most expensive individual ops")
+    p.add_argument("--uneq", action="store_true",
+                   help="profile the unequal-time measurement sweep (with "
+                        "the fused site->r measurement reduction) instead "
+                        "of the equal-time sweep-pair")
     args = p.parse_args()
 
     import jax
@@ -96,10 +100,32 @@ def main():
     states = step(states)
     jax.block_until_ready(states.G)
 
+    if args.uneq:
+        # profile the measured path instead: the unequal-time triplet sweep
+        # with the fused per-tau site->r measurement reduction, exactly as
+        # run.py's measurement loop invokes it (run.py:434-455)
+        from dqmc_tpu.engine.uneqtime import sweep_unequal_time
+        from dqmc_tpu.measure.manager import MeasurementManager
+        manager = MeasurementManager(lat, n_walkers=args.walkers,
+                                     measure_unequal=True, dtype=dtype,
+                                     out_dir=tempfile.mkdtemp(
+                                         prefix="dqmc_prof_out_"))
+        manager.add_defaults()
+        uneq_fn = manager.uneq_measure_fn
+        step = jax.jit(jax.vmap(
+            lambda s: sweep_unequal_time(model, cfg, s,
+                                         measure_fn=uneq_fn)))
+        ys, err = step(states)
+        jax.block_until_ready(err)
+
     trace_dir = tempfile.mkdtemp(prefix="dqmc_prof_")
     jax.profiler.start_trace(trace_dir)
-    states = step(states)
-    jax.block_until_ready(states.G)
+    if args.uneq:
+        ys, err = step(states)
+        jax.block_until_ready(err)
+    else:
+        states = step(states)
+        jax.block_until_ready(states.G)
     jax.profiler.stop_trace()
 
     agg = collections.Counter()
