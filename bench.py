@@ -270,6 +270,24 @@ def cpu_baseline() -> float:
     return rate
 
 
+def probe_backend(timeout_s: int = 300) -> bool:
+    """True when the default jax backend initializes and computes.
+
+    The axon TPU tunnel can wedge in a way where backend init BLOCKS
+    forever (observed: jax.devices() hanging >5 min); probing in a
+    subprocess with a hard timeout turns that hang into a fast, parseable
+    failure."""
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8));"
+            "print(float((x @ x).sum()))")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s, cwd=REPO)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     global L, BETA, NT, NSTAB, U, MU
     p = argparse.ArgumentParser()
@@ -299,6 +317,21 @@ def main():
         NSTAB = args.n_stab
     walkers = args.walkers or default_w
     sys.path.insert(0, REPO)
+
+    if not probe_backend():
+        # the accelerator backend is unreachable (tunnel wedge/outage):
+        # emit one parseable JSON line instead of hanging the caller
+        print(json.dumps({
+            "metric": f"full sweeps/sec/chip ({L}x{L} beta={BETA} U={U} "
+                      f"Hubbard, nt={NT}, {args.dtype}, {walkers} walkers)",
+            "value": 0.0,
+            "unit": "sweeps/s/chip",
+            "vs_baseline": None,
+            "error": "jax backend unavailable (device init probe timed "
+                     "out or crashed); see BENCHMARKS.md for last "
+                     "recorded numbers",
+        }))
+        return
 
     # parity-grade companion number: same workload on the df32 hybrid
     # engine (~1e-8 fixed-field accuracy at beta=8, tests/test_df_linalg;

@@ -43,14 +43,20 @@ class MeasurementContext:
     # reduction runs as two MXU einsums instead (see transforms.site_to_r)
     shift1: jax.Array          # (L1, L1, L1)
     shift2: jax.Array          # (L2, L2, L2)
-    # one-hot site-PAIR reduction matrix for the single-matmul site->r path
-    # (transforms.site_to_r_batched): P[i*ns + j, (dx*L2+dy)*no^2 + a*no+b]
-    # = 1 iff (i, j) realizes displacement (dx, dy) on orbital pair (a, b).
-    # One (.., ns^2) x (ns^2, nd) dot replaces the separable einsums, whose
-    # XLA lowering (convolution + layout copies) dominated measured
-    # unequal-time sweeps.  None when the matrix would exceed ~96 MB
-    # (large lattices fall back to the einsum path).
-    pair_reduce: jax.Array | None = None   # (ns^2, L1*L2*no^2) or None
+    # column indices of the one-hot site-PAIR reduction matrix for the
+    # single-matmul site->r path (transforms.site_to_r_batched):
+    # P[i*ns + j, c] = 1 iff c == pair_cols[i*ns + j], where column
+    # (dx*L2+dy)*no^2 + a*no+b encodes the displacement (dx, dy) from i's
+    # cell to j's cell and the orbital pair (a, b).  One (.., ns^2) x
+    # (ns^2, nd) dot replaces the separable einsums, whose XLA lowering
+    # (convolution + layout copies) dominated measured unequal-time sweeps.
+    # Only the index VECTOR is stored; the dense one-hot is rebuilt
+    # in-graph per use (a trivial compare vs the dot it feeds) — a baked
+    # dense constant inflated the lowered HLO 54x (68 MB at L=16), which
+    # the TPU tunnel must ship and the compiler must hash every cold
+    # compile.  None when the dense operand would exceed ~96 MB (large
+    # lattices fall back to the einsum path).
+    pair_cols: jax.Array | None = None     # (ns^2,) int32 or None
 
     @property
     def phases(self):
@@ -68,12 +74,12 @@ def _shift_onehot(L: int, off: int, dtype) -> np.ndarray:
 _PAIR_REDUCE_BYTES_CAP = 96 * 2**20
 
 
-def _pair_reduce_matrix(lat: Lattice) -> np.ndarray | None:
-    """One-hot (ns^2, L1*L2*n_orb^2) site-pair -> displacement matrix.
+def _pair_cols_vector(lat: Lattice) -> np.ndarray | None:
+    """Column indices of the one-hot site-pair -> displacement matrix.
 
-    Row i*ns + j carries a single 1 at column (dx*L2 + dy)*no^2 + a*no + b
-    where (dx, dy) is the (offset-indexed) displacement from i's cell to
-    j's cell and (a, b) their orbitals — the same index conventions as
+    Entry i*ns + j is (dx*L2 + dy)*no^2 + a*no + b where (dx, dy) is the
+    (offset-indexed) displacement from i's cell to j's cell and (a, b)
+    their orbitals — the same index conventions as
     Lattice.displacement_table / the reference's chi_site_to_chi_r
     (measurementh5.h:20-66)."""
     ns, no, nc = lat.n_sites, lat.n_orb, lat.n_cells
@@ -81,7 +87,7 @@ def _pair_reduce_matrix(lat: Lattice) -> np.ndarray | None:
     if ns * ns * nd * 4 > _PAIR_REDUCE_BYTES_CAP:
         return None
     T = lat.displacement_table()                      # (L1, L2, nc)
-    D = np.zeros((ns * ns, nd), np.float32)
+    cols_vec = np.zeros(ns * ns, np.int32)
     cells = np.arange(nc)
     d_flat = (np.arange(lat.L1)[:, None] * lat.L2
               + np.arange(lat.L2)[None, :])           # (L1, L2)
@@ -90,14 +96,15 @@ def _pair_reduce_matrix(lat: Lattice) -> np.ndarray | None:
             rows = ((cells[None, None, :] * no + a) * ns
                     + T * no + b)                     # (L1, L2, nc)
             cols = (d_flat * no * no + a * no + b)[..., None]
-            D[rows.ravel(), np.broadcast_to(cols, rows.shape).ravel()] = 1.0
-    return D
+            cols_vec[rows.ravel()] = \
+                np.broadcast_to(cols, rows.shape).ravel()
+    return cols_vec
 
 
 def make_context(lat: Lattice, dtype=jnp.float64) -> MeasurementContext:
     from dqmc_tpu.lattice import _half_offset
     phases = lat.kspace_phases()
-    pair = _pair_reduce_matrix(lat)
+    pair = _pair_cols_vector(lat)
     return MeasurementContext(
         L1=lat.L1, L2=lat.L2, n_orb=lat.n_orb, n_cells=lat.n_cells,
         n_sites=lat.n_sites,
@@ -109,8 +116,5 @@ def make_context(lat: Lattice, dtype=jnp.float64) -> MeasurementContext:
                            dtype),
         shift2=jnp.asarray(_shift_onehot(lat.L2, _half_offset(lat.L2), dtype),
                            dtype),
-        # one-hot entries are exact in bf16; storing half-width halves the
-        # HBM stream per dot (the dot itself upcasts to the chi dtype)
-        pair_reduce=None if pair is None else jnp.asarray(pair,
-                                                          jnp.bfloat16),
+        pair_cols=None if pair is None else jnp.asarray(pair),
     )

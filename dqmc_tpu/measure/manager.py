@@ -154,7 +154,7 @@ class MeasurementManager:
                 # site->r reduction so the one-hot matrix streams from HBM
                 # once per tau (site_to_r_batched), not once per observable
                 batch = [n for n, v in vals.items()
-                         if ctx.pair_reduce is not None
+                         if ctx.pair_cols is not None
                          and v.shape == (ns, ns)]
                 if len(batch) > 1:
                     from dqmc_tpu.measure.transforms import site_to_r_batched

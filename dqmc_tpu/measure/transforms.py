@@ -38,14 +38,19 @@ def site_to_r_batched(chis, ctx: MeasurementContext):
     separable shift-tensor einsums for the per-tau unequal-time
     measurements, whose XLA:TPU lowering (convolution kernels + layout
     copies) cost ~60 ms of a 138 ms measured sweep at L=16, nt=160.
-    Stack observables on a leading axis so the one-hot matrix streams from
-    HBM once per tau.  Requires ctx.pair_reduce (built for lattices where
-    the one-hot fits; see context._pair_reduce_matrix).
+    Stack observables on a leading axis so the one-hot matrix builds/
+    streams once per tau batch.  The dense one-hot is expanded IN-GRAPH
+    from ctx.pair_cols (one compare per entry — trivial next to the dot
+    it feeds); a baked dense constant inflated the lowered HLO 54x.
+    Requires ctx.pair_cols (built for lattices where the dense operand
+    fits; see context._pair_cols_vector).
     """
     ns = ctx.n_sites
+    nd = ctx.L1 * ctx.L2 * ctx.n_orb * ctx.n_orb
     lead = chis.shape[:-2]
     X = chis.reshape(lead + (ns * ns,))
-    D = ctx.pair_reduce.astype(chis.dtype)
+    D = (ctx.pair_cols[:, None]
+         == jnp.arange(nd, dtype=jnp.int32)[None, :]).astype(chis.dtype)
     out = jnp.einsum("...k,kd->...d", X, D,
                      precision=jax.lax.Precision.HIGHEST) / ctx.n_cells
     return out.reshape(lead + (ctx.L1, ctx.L2, ctx.n_orb * ctx.n_orb))
@@ -58,7 +63,7 @@ def site_to_r(chi, ctx: MeasurementContext):
     Two equivalent TPU formulations (brute-force-pinned in
     tests/test_transforms.py):
 
-    - pair-matmul (default when ctx.pair_reduce exists): one dense one-hot
+    - pair-matmul (default when ctx.pair_cols exists): one dense one-hot
       contraction over flattened site pairs — see site_to_r_batched.
     - separable einsums: the cell translation is separable (cell =
       uy*L1 + ux translates per-axis), so the reduction runs as TWO dense
@@ -74,7 +79,7 @@ def site_to_r(chi, ctx: MeasurementContext):
         chi = chi[..., None]
     S = chi.shape[-1]
     dt = chi.dtype
-    if ctx.pair_reduce is not None:
+    if ctx.pair_cols is not None:
         out = site_to_r_batched(jnp.moveaxis(chi, -1, 0), ctx)  # (S,L1,L2,ab)
         # reference flat layout: (a*n_orb + b)*S + s  (measurementh5.h:61)
         return jnp.moveaxis(out, 0, -1).reshape(L1, L2, no * no * S)

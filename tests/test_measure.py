@@ -84,8 +84,8 @@ def test_site_to_r_pair_matmul_matches_einsum(rng):
 
     for lat in (square_lattice(4, 6), honeycomb_lattice(3, 3)):
         ctx = make_context(lat)
-        assert ctx.pair_reduce is not None
-        ctx_no_pair = dataclasses.replace(ctx, pair_reduce=None)
+        assert ctx.pair_cols is not None
+        ctx_no_pair = dataclasses.replace(ctx, pair_cols=None)
         ns = lat.n_sites
         chi = rng.standard_normal((ns, ns, 2))
         got = np.asarray(site_to_r(jnp.asarray(chi), ctx))
