@@ -114,6 +114,13 @@ class MeasurementManager:
         for name, fn in obs.UNEQUAL_TIME_OBSERVABLES.items():
             self.add_unequal_time(name, fn)
 
+    def add_spin(self) -> None:
+        """Register the opt-in magnetic set ([simulation] measure_spin =
+        true): spin-z and spin-x correlation matrices (beyond-reference)."""
+        from dqmc_tpu.measure import observables as obs
+        for name, fn in obs.SPIN_OBSERVABLES.items():
+            self.add_equal_time(name, fn)
+
     # ------------------------------------------------------------------
     # fused measurement kernels
     # ------------------------------------------------------------------

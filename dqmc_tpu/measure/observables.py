@@ -72,6 +72,37 @@ def density_corr(G00, ctx: MeasurementContext):
     return n_i[:, None] * n_i[None, :] + exch - n_avg ** 2
 
 
+def spin_zz_corr(G00, ctx: MeasurementContext):
+    """<S^z_i S^z_j> with S^z = (n_up - n_dn)/2 (beyond-reference; the
+    natural magnetic probe for the 2-flavor repulsive model).
+
+    Wick (per spin species s): <n_is n_js> = n_i n_j + X_s(i,j) with
+    X_s(i,j) = (delta_ij - G_s(j,i)) G_s(i,j); cross-species terms
+    factorize, so
+        <Sz_i Sz_j> = 1/4 [ m_i m_j + X_up(i,j) + X_dn(i,j) ],
+    m_i = <n_iu> - <n_id>.  The textbook delta_ij (NOT the reference's
+    1-G quirk, cf. density_corr) — this observable has no reference
+    counterpart to stay bit-compatible with.
+    """
+    Gup, Gdn = _updn(G00)
+    eye = jnp.eye(ctx.n_sites, dtype=G00.dtype)
+    m = jnp.diag(Gdn) - jnp.diag(Gup)        # <n_u> - <n_d> = Gd_ii - Gu_ii
+    X = (eye - Gup.T) * Gup + (eye - Gdn.T) * Gdn
+    return 0.25 * (m[:, None] * m[None, :] + X)
+
+
+def spin_xx_corr(G00, ctx: MeasurementContext):
+    """<S^x_i S^x_j> = 1/4 [<S+_i S-_j> + <S-_i S+_j>] (beyond-reference).
+
+    <S+_i S-_j> = <c+_iu c_ju><c_id c+_jd> = (delta_ij - Gu(j,i)) Gd(i,j)
+    and the spin-flipped mirror.  For a spin-symmetric G this equals
+    spin_zz_corr exactly (SU(2)); pinned in tests/test_measure.py.
+    """
+    Gup, Gdn = _updn(G00)
+    eye = jnp.eye(ctx.n_sites, dtype=G00.dtype)
+    return 0.25 * ((eye - Gup.T) * Gdn + (eye - Gdn.T) * Gup)
+
+
 # ----------------------------------------------------------------------
 # unequal-time per-tau observables (model.cpp:290-392)
 # ----------------------------------------------------------------------
@@ -140,6 +171,14 @@ SCALAR_OBSERVABLES = {
 
 EQUAL_TIME_OBSERVABLES = {
     "densityCorr": density_corr,
+}
+
+# opt-in magnetic set ([simulation] measure_spin = true): beyond-reference,
+# so not in the default registry — default runs keep reference-identical
+# output files
+SPIN_OBSERVABLES = {
+    "spinZZCorr": spin_zz_corr,
+    "spinXXCorr": spin_xx_corr,
 }
 
 UNEQUAL_TIME_OBSERVABLES = {

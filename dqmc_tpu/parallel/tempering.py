@@ -309,6 +309,8 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
                                  file_mode="a" if start_bin else "w",
                                  sink=params.get_str("io", "sink", "h5"))
     manager.add_defaults()
+    if params.get_bool("simulation", "measure_spin", False):
+        manager.add_spin()
 
     def save_ckpt():
         if ckpt_every <= 0:

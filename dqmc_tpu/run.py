@@ -294,6 +294,8 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
                                  file_mode="a" if start_bin else "w",
                                  sink=params.get_str("io", "sink", "h5"))
     manager.add_defaults()
+    if params.get_bool("simulation", "measure_spin", False):
+        manager.add_spin()
 
     # runtime observability: reference warns when the naive-vs-stabilized
     # deviation exceeds 1e-6 (dqmc.cpp:390-393).  The threshold applies to

@@ -146,6 +146,38 @@ def test_density_corr_vs_loops(rng):
                                atol=1e-12)
 
 
+def test_spin_corr_vs_loops(rng):
+    """spinZZ/spinXX against direct Wick loops with INDEPENDENT up/down
+    Green's functions, plus the SU(2) identity zz == xx at Gu == Gd."""
+    lat = square_lattice(4, 4)
+    ctx = make_context(lat)
+    gu = np.asarray(_fake_G(rng, 16)[0])
+    gd = np.asarray(_fake_G(rng, 16)[0])
+    G2 = jnp.stack([jnp.asarray(gu), jnp.asarray(gd)])
+
+    eye = np.eye(16)
+    nu, nd = 1 - np.diag(gu), 1 - np.diag(gd)
+    zz = np.empty((16, 16))
+    xx = np.empty((16, 16))
+    for i in range(16):
+        for j in range(16):
+            d = eye[i, j]
+            nn_uu = nu[i] * nu[j] + (d - gu[j, i]) * gu[i, j]
+            nn_dd = nd[i] * nd[j] + (d - gd[j, i]) * gd[i, j]
+            zz[i, j] = 0.25 * (nn_uu + nn_dd - nu[i] * nd[j] - nd[i] * nu[j])
+            xx[i, j] = 0.25 * ((d - gu[j, i]) * gd[i, j]
+                               + (d - gd[j, i]) * gu[i, j])
+    np.testing.assert_allclose(np.asarray(obs.spin_zz_corr(G2, ctx)), zz,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(obs.spin_xx_corr(G2, ctx)), xx,
+                               atol=1e-12)
+
+    G1 = _fake_G(rng, 16)      # spin-symmetric single stored flavor
+    np.testing.assert_allclose(np.asarray(obs.spin_zz_corr(G1, ctx)),
+                               np.asarray(obs.spin_xx_corr(G1, ctx)),
+                               atol=1e-12)
+
+
 def test_currxx_vs_loops(rng):
     lat = square_lattice(4, 4)
     ctx = make_context(lat)
