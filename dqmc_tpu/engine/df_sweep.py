@@ -224,25 +224,26 @@ def rebuild_stack_df(aux: DFModelAux, cfg: EngineConfig, fields: jax.Array):
     stack = identity_stack_df(nfl, cfg.n_slots, ns)
     eyeB = _eye_df(nfl, ns)
 
-    ls, i_stacks, do_stabs = cfg.slice_schedule(forward=False)
-    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
+    # block-structured (see engine/sweep.py): no per-slice cond carrying
+    # the (large) df stack
+    n_stab = cfg.n_stab
+    n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
-    def step(carry, x):
-        stack, Bbar = carry
-        l, i_stack, do_stab = x
-        B = _slice_B_df(aux, jnp.take(fields, l, axis=0))
-        Bbar = df32.matmul(Bbar, B)          # right-to-left: Bbar @ B_l
+    def run_block(stack, i_stack, n_slices, l0):
+        Bbar = eyeB
+        for k in range(n_slices):
+            l = l0 + n_slices - 1 - k
+            B = _slice_B_df(aux, jnp.take(fields, l, axis=0))
+            Bbar = df32.matmul(Bbar, B)      # right-to-left: Bbar @ B_l
+        T = _mat_mul_ldr_df(_transpose_df(Bbar),
+                            slot_get_df(stack, i_stack + 2))
+        return slot_set_df(stack, i_stack + 1, T)
 
-        def fold(args):
-            stack, Bbar = args
-            T = _mat_mul_ldr_df(_transpose_df(Bbar),
-                                slot_get_df(stack, i_stack + 2))
-            return slot_set_df(stack, i_stack + 1, T), eyeB
-
-        stack, Bbar = jax.lax.cond(do_stab, fold, lambda a: a, (stack, Bbar))
-        return (stack, Bbar), None
-
-    (stack, _), _ = jax.lax.scan(step, (stack, eyeB), xs)
+    if rem:
+        stack = run_block(stack, jnp.int32(n_full), rem, n_full * n_stab)
+    stack, _ = jax.lax.scan(
+        lambda s, i: (run_block(s, i, n_stab, i * n_stab), None),
+        stack, jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
     G_df, log_det = _inv_pair_df(slot_get_df(stack, 0), slot_get_df(stack, 1))
     return stack, G_df, log_det
 
@@ -277,9 +278,6 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
     nfl, ns = model32.n_flavor, model32.n_sites
     eyeB = _eye_df(nfl, ns)
 
-    ls, i_stacks, do_stabs = cfg.slice_schedule(forward)
-    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
-
     def stabilize(stack, Bbar, i_stack):
         if forward:
             F_new = _mat_mul_ldr_df(Bbar, slot_get_df(stack, i_stack))
@@ -293,10 +291,8 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
             G_df, log_det = _inv_pair_df(slot_get_df(stack, i_stack), T_new)
         return G_df, stack, log_det
 
-    def slice_step(carry, x):
-        (fields, G, G_df, stack, log_det_M, Bbar, key, acc, sign, emax,
-         esum, ecnt) = carry
-        l, i_stack, do_stab = x
+    def slice_step(carry, l):
+        (fields, G, Bbar, key, acc, sign) = carry
         fields_l = jnp.take(fields, l, axis=0)
 
         if forward:
@@ -331,30 +327,49 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
                               apply_invB_left(model32, fields_l, G))
             Bbar = df32.matmul(Bbar, B_df)
 
-        def stab_branch(args):
-            G, G_df, stack, log_det_M, Bbar = args
-            G_new_df, stack, log_det = stabilize(stack, Bbar, i_stack)
-            err = jnp.max(jnp.abs(G - G_new_df.hi))
-            return G_new_df.hi, G_new_df, stack, log_det, eyeB, err
+        return (fields, G, Bbar, key, acc, sign)
 
-        def no_stab(args):
-            G, G_df, stack, log_det_M, Bbar = args
-            return G, G_df, stack, log_det_M, Bbar, jnp.zeros((), jnp.float32)
+    # block-structured scan (see engine/sweep.py): the per-slice lax.cond
+    # it replaces copied the full cond carry — including the df stack's
+    # six (nfl, n_slots, ns, ns) leaves — every slice
+    n_stab = cfg.n_stab
+    n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
-        G, G_df, stack, log_det_M, Bbar, err = jax.lax.cond(
-            do_stab, stab_branch, no_stab, (G, G_df, stack, log_det_M, Bbar))
+    def run_block(carry, i_stack, n_slices, l0):
+        (fields, G, G_df, stack, log_det_M, key, acc, sign, emax, esum,
+         ecnt) = carry
+        c6 = (fields, G, eyeB, key, acc, sign)
+        for k in range(n_slices):
+            l = l0 + (k if forward else n_slices - 1 - k)
+            c6 = slice_step(c6, l)
+        fields, G, Bbar, key, acc, sign = c6
+        G_df, stack, log_det_M = stabilize(stack, Bbar, i_stack)
+        err = jnp.max(jnp.abs(G - G_df.hi))
         emax = jnp.maximum(emax, err)
         esum = esum + err
-        ecnt = ecnt + do_stab.astype(jnp.float32)
-        carry = (fields, G, G_df, stack, log_det_M, Bbar, key, acc, sign,
-                 emax, esum, ecnt)
-        return carry, None
+        ecnt = ecnt + jnp.ones((), jnp.float32)
+        return (fields, G_df.hi, G_df, stack, log_det_M, key, acc, sign,
+                emax, esum, ecnt)
+
+    def block_step(carry, i_stack):
+        return run_block(carry, i_stack, n_stab, i_stack * n_stab), None
+
+    def tail_block(carry):
+        return run_block(carry, jnp.int32(n_full), rem, n_full * n_stab)
 
     carry = (state.fields, state.G, state.G_df, state.stack,
-             state.log_det_M, eyeB, state.key, state.acc_sum, state.sign,
+             state.log_det_M, state.key, state.acc_sum, state.sign,
              state.err_max, state.err_sum, state.err_count)
-    carry, _ = jax.lax.scan(slice_step, carry, xs)
-    (fields, G, G_df, stack, log_det_M, _, key, acc, sign, emax, esum,
+    i_stacks = jnp.arange(n_full, dtype=jnp.int32)
+    if forward:
+        carry, _ = jax.lax.scan(block_step, carry, i_stacks)
+        if rem:
+            carry = tail_block(carry)
+    else:
+        if rem:
+            carry = tail_block(carry)
+        carry, _ = jax.lax.scan(block_step, carry, i_stacks[::-1])
+    (fields, G, G_df, stack, log_det_M, key, acc, sign, emax, esum,
      ecnt) = carry
     return dataclasses.replace(
         state, fields=fields, G=G, G_df=G_df, stack=stack,

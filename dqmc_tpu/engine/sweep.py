@@ -38,8 +38,11 @@ Two departures from the reference worth naming:
   expK is free compared to the GEMMs.
 
 Everything is vmappable over a leading walker axis and over model-replica
-axes (parallel tempering); the scan schedule (which slice stabilizes) is
-host-side static data, so ``lax.cond`` stays a real branch, not a select.
+axes (parallel tempering).  The stabilization schedule is host-side static
+data, so sweeps scan over stabilization BLOCKS with the n_stab slice steps
+inlined and the restabilization placed unconditionally at the block end —
+a per-slice ``lax.cond`` would copy its whole carry (including the LDR
+stack) every slice on TPU.
 """
 
 from __future__ import annotations
@@ -264,24 +267,25 @@ def rebuild_stack_and_greens(model, cfg: EngineConfig, fields: jax.Array):
     stack = identity_stack(nfl, cfg.n_slots, ns, dtype)
     eyeB = jnp.tile(jnp.eye(ns, dtype=dtype), (nfl, 1, 1))
 
-    ls, i_stacks, do_stabs = cfg.slice_schedule(forward=False)
-    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
+    # block-structured (see sweep): slices of one stack inlined, fold at
+    # the block end unconditionally — no per-slice cond carrying the stack
+    n_stab = cfg.n_stab
+    n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
-    def step(carry, x):
-        stack, Bbar = carry
-        l, i_stack, do_stab = x
-        Bbar = apply_B_right(model, jnp.take(fields, l, axis=0), Bbar)
+    def run_block(stack, i_stack, n_slices, l0):
+        Bbar = eyeB
+        for k in range(n_slices):
+            l = l0 + n_slices - 1 - k
+            Bbar = apply_B_right(model, jnp.take(fields, l, axis=0), Bbar)
+        T = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
+                           slot_get(stack, i_stack + 2))
+        return slot_set(stack, i_stack + 1, T)
 
-        def fold(args):
-            stack, Bbar = args
-            T = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
-                               slot_get(stack, i_stack + 2))
-            return slot_set(stack, i_stack + 1, T), eyeB
-
-        stack, Bbar = jax.lax.cond(do_stab, fold, lambda a: a, (stack, Bbar))
-        return (stack, Bbar), None
-
-    (stack, _), _ = jax.lax.scan(step, (stack, eyeB), xs)
+    if rem:
+        stack = run_block(stack, jnp.int32(n_full), rem, n_full * n_stab)
+    stack, _ = jax.lax.scan(
+        lambda s, i: (run_block(s, i, n_stab, i * n_stab), None),
+        stack, jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
     G, log_det_M = _inv_pair_f(slot_get(stack, 0), slot_get(stack, 1))
     return stack, G, log_det_M
 
@@ -318,9 +322,6 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
     dtype = model.dtype
     eyeB = jnp.tile(jnp.eye(ns, dtype=dtype), (nfl, 1, 1))
 
-    ls, i_stacks, do_stabs = cfg.slice_schedule(forward)
-    xs = (jnp.asarray(ls), jnp.asarray(i_stacks), jnp.asarray(do_stabs))
-
     def stabilize(G, stack, Bbar, i_stack):
         if forward:
             # prefix chain (normal form): slot[i+1] = Bbar * slot[i];
@@ -341,10 +342,8 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
         err = jnp.max(jnp.abs(G - G_new))
         return G_new, stack, log_det, err
 
-    def slice_step(carry, x):
-        (fields, G, stack, log_det_M, Bbar, key, acc, sign, emax, esum,
-         ecnt) = carry
-        l, i_stack, do_stab = x
+    def slice_step(carry, l):
+        (fields, G, Bbar, key, acc, sign) = carry
         fields_l = jnp.take(fields, l, axis=0)
 
         if forward:
@@ -383,30 +382,53 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
                               apply_invB_left(model, fields_l, G))
             Bbar = apply_B_right(model, fields_l, Bbar)
 
-        def stab_branch(args):
-            G, stack, log_det_M, Bbar = args
-            G_new, stack, log_det, err = stabilize(G, stack, Bbar, i_stack)
-            return G_new, stack, log_det, eyeB, err
+        return (fields, G, Bbar, key, acc, sign)
 
-        def no_stab(args):
-            G, stack, log_det_M, Bbar = args
-            return G, stack, log_det_M, Bbar, jnp.zeros((), dtype)
+    # Block-structured scan: the stabilization schedule is STATIC (each
+    # stack's boundary slice, dqmc.cpp:369/429), so the sweep scans over
+    # stacks with the n_stab slice steps inlined and the restabilization
+    # placed unconditionally at the block end.  The per-slice lax.cond it
+    # replaces forced a full copy of the cond carry — including the whole
+    # LDR stack — every slice (cf. engine/uneqtime.py, same restructure).
+    # Slice processing order and key-split order are IDENTICAL to the flat
+    # schedule, so the Markov chains are bit-equal.
+    n_stab = cfg.n_stab
+    n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
-        G, stack, log_det_M, Bbar, err = jax.lax.cond(
-            do_stab, stab_branch, no_stab, (G, stack, log_det_M, Bbar))
+    def run_block(carry, i_stack, n_slices, l0):
+        (fields, G, stack, log_det_M, key, acc, sign, emax, esum,
+         ecnt) = carry
+        c6 = (fields, G, eyeB, key, acc, sign)
+        for k in range(n_slices):
+            l = l0 + (k if forward else n_slices - 1 - k)
+            c6 = slice_step(c6, l)
+        fields, G, Bbar, key, acc, sign = c6
+        G, stack, log_det_M, err = stabilize(G, stack, Bbar, i_stack)
         emax = jnp.maximum(emax, err)
         esum = esum + err
-        ecnt = ecnt + do_stab.astype(dtype)
-        carry = (fields, G, stack, log_det_M, Bbar, key, acc, sign, emax,
-                 esum, ecnt)
-        return carry, None
+        ecnt = ecnt + jnp.ones((), dtype)
+        return (fields, G, stack, log_det_M, key, acc, sign, emax, esum,
+                ecnt)
 
-    carry = (state.fields, state.G, state.stack, state.log_det_M, eyeB,
+    def block_step(carry, i_stack):
+        return run_block(carry, i_stack, n_stab, i_stack * n_stab), None
+
+    def tail_block(carry):
+        return run_block(carry, jnp.int32(n_full), rem, n_full * n_stab)
+
+    carry = (state.fields, state.G, state.stack, state.log_det_M,
              state.key, state.acc_sum, state.sign, state.err_max,
              state.err_sum, state.err_count)
-    carry, _ = jax.lax.scan(slice_step, carry, xs)
-    (fields, G, stack, log_det_M, _, key, acc, sign, emax, esum,
-     ecnt) = carry
+    i_stacks = jnp.arange(n_full, dtype=jnp.int32)
+    if forward:
+        carry, _ = jax.lax.scan(block_step, carry, i_stacks)
+        if rem:
+            carry = tail_block(carry)
+    else:
+        if rem:
+            carry = tail_block(carry)
+        carry, _ = jax.lax.scan(block_step, carry, i_stacks[::-1])
+    (fields, G, stack, log_det_M, key, acc, sign, emax, esum, ecnt) = carry
     return dataclasses.replace(
         state, fields=fields, G=G, stack=stack, log_det_M=log_det_M, key=key,
         acc_sum=acc, sign=sign, err_max=emax, err_sum=esum, err_count=ecnt)
