@@ -353,11 +353,18 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
 
         if update:
             key, k_slice = jax.random.split(key)
-            if cfg.use_pallas:
+            if cfg.use_pallas and model.n_flavor == 2 \
+                    and model.det_power == 1:
+                from dqmc_tpu.ops.kernels import pallas_site_update_2f
+                G, fields_l, acc_l, sgn_l = pallas_site_update_2f(
+                    model, k_slice, G, fields_l)
+                sign = sign * sgn_l
+            elif cfg.use_pallas:
                 if model.n_flavor != 1 or model.det_power != 2:
                     raise NotImplementedError(
                         "pallas site-update kernel supports single-flavor "
-                        "det_power=2 models; use delay_rank/scan instead")
+                        "det_power=2 and two-flavor det_power=1 models; "
+                        "use delay_rank/scan instead")
                 from dqmc_tpu.ops.kernels import pallas_site_update
                 # pallas kernels serve sign-free models only; sign unchanged
                 G, fields_l, acc_l = pallas_site_update(

@@ -211,6 +211,124 @@ def _batched_update_kernel(k_delay, scal_ref, ga_ref, order_ref, props_ref,
     acc_ref[...] = acc / ns
 
 
+def _batched_update_kernel_2f(k_delay, scal_ref, ga_ref, order_ref,
+                              props_ref, us_ref, fields_in_ref,
+                              gu_in_ref, gd_in_ref,
+                              gu_ref, gd_ref, fields_ref, acc_ref, sgn_ref,
+                              gtu_ref, gtd_ref,
+                              utu_ref, vu_ref, utd_ref, vd_ref):
+    """Two-flavor (repulsive spin-channel) variant of the batched kernel.
+
+    The flavors see OPPOSITE couplings (delta_up = expm1(+g d_eta),
+    delta_dn = expm1(-g d_eta), models/repulsive_hubbard.py:117-124) and
+    the determinant ratio enters ONCE per flavor (det_power = 1):
+    R = gammaR * bosonR * r_up * r_dn, Metropolis on |R| with the
+    configuration sign flipping on accepted negative-R moves
+    (engine/sweep.py local_update_core).  Everything else — delayed
+    rank-k buffers per flavor, shared visit order, per-walker coupling
+    columns — mirrors _batched_update_kernel.
+
+    Extra refs vs the 1-flavor kernel: a second G (in/out + transpose
+    scratch + U/V scratch) and the (1, WB) sign output.
+    """
+    WB, ns = gu_ref.shape[0], gu_ref.shape[-1]
+    dtype = gu_ref.dtype
+    gu_ref[...] = gu_in_ref[...]
+    gd_ref[...] = gd_in_ref[...]
+    gtu_ref[...] = jnp.swapaxes(gu_in_ref[...], -1, -2)
+    gtd_ref[...] = jnp.swapaxes(gd_in_ref[...], -1, -2)
+    fields_ref[...] = fields_in_ref[...]
+    for ref in (utu_ref, vu_ref, utd_ref, vd_ref):
+        ref[...] = jnp.zeros_like(ref)
+
+    g_hs = ga_ref[:, 0:1]                                # (WB, 1)
+    alpha = ga_ref[:, 1:2]                               # (WB, 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+
+    def lut(base, s):
+        out = jnp.zeros(s.shape, dtype)
+        for v4 in range(4):
+            out = jnp.where(s == v4, scal_ref[0, base + v4], out)
+        return out
+
+    def eff(g_ref_, gt_ref_, ut_ref_, v_ref_, i, onehot):
+        """(row_eff, col_eff, pending coef vectors) of one flavor."""
+        row_g = g_ref_[:, pl.ds(i, 1), :].reshape(WB, ns)
+        col_g = gt_ref_[:, pl.ds(i, 1), :].reshape(WB, ns)
+        ut_all = ut_ref_[...]
+        v_all = v_ref_[...]
+        ucoef = jnp.sum(ut_all * onehot[None], axis=2)
+        vcoef = jnp.sum(v_all * onehot[None], axis=2)
+        row_eff = row_g + jnp.sum(ucoef[:, :, None] * v_all, axis=1)
+        col_eff = col_g + jnp.sum(vcoef[:, :, None] * ut_all, axis=1)
+        return row_eff, col_eff
+
+    def body(idx, carry):
+        acc, sgn = carry
+        slot = jax.lax.rem(idx, jnp.int32(k_delay))
+        i = order_ref[0, idx]
+        onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
+                           jnp.asarray(0.0, dtype))
+
+        fields = fields_ref[...]
+        old = jnp.sum(fields * (lane_ids == i), axis=1,
+                      keepdims=True, dtype=jnp.int32)
+        r = props_ref[pl.ds(idx, 1), :].reshape(WB, 1)
+        new = r + (r >= old).astype(r.dtype)
+        u = us_ref[pl.ds(idx, 1), :].reshape(WB, 1)
+
+        d_eta = lut(0, new) - lut(0, old)
+        gammaR = lut(4, new) / lut(4, old)
+        bosonR = jnp.exp(alpha * g_hs * d_eta)
+        x = g_hs * d_eta
+        delta_u = jnp.exp(x) - 1.0
+        delta_d = jnp.exp(-x) - 1.0
+
+        row_u, col_u = eff(gu_ref, gtu_ref, utu_ref, vu_ref, i, onehot)
+        row_d, col_d = eff(gd_ref, gtd_ref, utd_ref, vd_ref, i, onehot)
+        Gii_u = jnp.sum(row_u * onehot, axis=1, keepdims=True)
+        Gii_d = jnp.sum(row_d * onehot, axis=1, keepdims=True)
+
+        r_up = 1.0 + (1.0 - Gii_u) * delta_u
+        r_dn = 1.0 + (1.0 - Gii_d) * delta_d
+        R = gammaR * bosonR * r_up * r_dn
+        accept = u < jnp.minimum(jnp.asarray(1.0, dtype), jnp.abs(R))
+        sgn = sgn * jnp.where((accept & (R < 0)).reshape(1, WB),
+                              jnp.asarray(-1.0, dtype),
+                              jnp.asarray(1.0, dtype))
+        pre_u = jnp.where(accept, delta_u / r_up, jnp.zeros_like(delta_u))
+        pre_d = jnp.where(accept, delta_d / r_dn, jnp.zeros_like(delta_d))
+
+        utu_ref[:, pl.ds(slot, 1), :] = (pre_u * col_u)[:, None, :]
+        vu_ref[:, pl.ds(slot, 1), :] = (row_u - onehot)[:, None, :]
+        utd_ref[:, pl.ds(slot, 1), :] = (pre_d * col_d)[:, None, :]
+        vd_ref[:, pl.ds(slot, 1), :] = (row_d - onehot)[:, None, :]
+        fields_ref[...] = jnp.where((lane_ids == i) & accept,
+                                    new.astype(fields.dtype), fields)
+
+        @pl.when(slot == k_delay - 1)
+        def _flush():
+            dn = (((1,), (1,)), ((0,), (0,)))
+            gu_ref[...] += jax.lax.dot_general(
+                utu_ref[...], vu_ref[...], dn, preferred_element_type=dtype)
+            gtu_ref[...] += jax.lax.dot_general(
+                vu_ref[...], utu_ref[...], dn, preferred_element_type=dtype)
+            gd_ref[...] += jax.lax.dot_general(
+                utd_ref[...], vd_ref[...], dn, preferred_element_type=dtype)
+            gtd_ref[...] += jax.lax.dot_general(
+                vd_ref[...], utd_ref[...], dn, preferred_element_type=dtype)
+            for ref in (utu_ref, vu_ref, utd_ref, vd_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+        return (acc + accept.astype(dtype).reshape(1, WB), sgn)
+
+    acc, sgn = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(ns), body,
+        (jnp.zeros((1, WB), dtype), jnp.ones((1, WB), dtype)))
+    acc_ref[...] = acc / ns
+    sgn_ref[...] = sgn
+
+
 def _pick_block(W: int, ns: int, k: int, itemsize: int = 4,
                 budget: int = 80 * 2**20) -> int:
     # ~6 (ns, ns_pad)-sized live buffers per walker (G, GT, U/V, pipeline
@@ -318,6 +436,97 @@ def _metropolis_batched_impl(g_vec: jax.Array, alpha_vec: jax.Array,
             acc.reshape(W))
 
 
+@functools.partial(jax.jit, static_argnames=("k_delay", "interpret"))
+def _metropolis_batched_2f_impl(g_vec: jax.Array, alpha_vec: jax.Array,
+                                keys: jax.Array, G: jax.Array,
+                                fields: jax.Array, *, k_delay: int = 32,
+                                interpret: bool = False):
+    """Two-flavor batched site update (repulsive spin-channel decoupling).
+
+    G: (W, 2, ns, ns); returns (G, fields, acc (W,), sgn (W,)) where sgn
+    is the PRODUCT of this slice's Metropolis sign flips (multiply into
+    the walker's running sign).  Stream contract identical to
+    _metropolis_batched_impl (shared visit order from keys[0])."""
+    from dqmc_tpu import hsfield
+    from dqmc_tpu.engine.sweep import draw_slice_randoms
+
+    W, nfl, ns, _ = G.shape
+    assert nfl == 2
+    dtype = G.dtype
+    if ns % k_delay:
+        k_delay = next(k for k in (16, 8, 4, 2, 1) if ns % k == 0)
+
+    order, _, _ = draw_slice_randoms(keys[0], ns, dtype)
+    _, props, us = jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype))(keys)
+    props_t = props.astype(jnp.int32).T
+    us_t = us.T
+
+    scal = jnp.concatenate([
+        jnp.asarray(hsfield.ETA, dtype),
+        jnp.asarray(hsfield.GAMMA, dtype),
+    ]).reshape(1, 8)
+    ga = jnp.stack([g_vec.astype(dtype), alpha_vec.astype(dtype)], axis=1)
+
+    # two G-sized in/out pairs + two transpose scratches per walker
+    WB = _pick_block(W, ns, k_delay, 2 * jnp.dtype(dtype).itemsize)
+    kern = functools.partial(_batched_update_kernel_2f, k_delay)
+
+    def call_block(ga_b, props_b, us_b, fields_b, Gu_b, Gd_b):
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((WB, ns, ns), dtype),   # Gu
+                jax.ShapeDtypeStruct((WB, ns, ns), dtype),   # Gd
+                jax.ShapeDtypeStruct((WB, ns), jnp.int32),
+                jax.ShapeDtypeStruct((1, WB), dtype),        # acc
+                jax.ShapeDtypeStruct((1, WB), dtype),        # sgn
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # ga
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # order
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # props
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # us
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # fields in
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # Gu in
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # Gd in
+            ],
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(5)),
+            scratch_shapes=[
+                pltpu.VMEM((WB, ns, ns), dtype),       # GTu
+                pltpu.VMEM((WB, ns, ns), dtype),       # GTd
+                pltpu.VMEM((WB, k_delay, ns), dtype),  # Ut up
+                pltpu.VMEM((WB, k_delay, ns), dtype),  # V  up
+                pltpu.VMEM((WB, k_delay, ns), dtype),  # Ut dn
+                pltpu.VMEM((WB, k_delay, ns), dtype),  # V  dn
+            ],
+            input_output_aliases={6: 0, 7: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(scal, ga_b, order.astype(jnp.int32).reshape(1, ns), props_b, us_b,
+          fields_b, Gu_b, Gd_b)
+
+    n_blocks = W // WB
+    if n_blocks == 1:
+        Gu, Gd, fields_new, acc, sgn = call_block(
+            ga, props_t, us_t, fields.astype(jnp.int32), G[:, 0], G[:, 1])
+    else:
+        tv = lambda x: x.T.reshape(n_blocks, WB, ns).transpose(0, 2, 1)
+        Gu, Gd, fields_new, acc, sgn = jax.vmap(call_block)(
+            ga.reshape(n_blocks, WB, 2), tv(props_t.T), tv(us_t.T),
+            fields.astype(jnp.int32).reshape(n_blocks, WB, ns),
+            G[:, 0].reshape(n_blocks, WB, ns, ns),
+            G[:, 1].reshape(n_blocks, WB, ns, ns))
+
+    G_new = jnp.stack([Gu.reshape(W, ns, ns), Gd.reshape(W, ns, ns)],
+                      axis=1)
+    return (G_new, fields_new.reshape(W, ns), acc.reshape(W),
+            sgn.reshape(W))
+
+
 def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
                                     fields: jax.Array, *, k_delay: int = 32,
                                     interpret: bool = False):
@@ -404,6 +613,70 @@ def _pallas_site_update_vmap(axis_size, in_batched, model, key, G, fields_l):
     fields_l = ensure(fields_l, in_batched[3])
     out = _site_update_batched(g, alpha, key, G, fields_l)
     return out, (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def _site_update_batched_2f(g, alpha, keys, G, fields):
+    interpret = jax.default_backend() == "cpu"
+    return _metropolis_batched_2f_impl(g, alpha, keys, G, fields,
+                                       interpret=interpret)
+
+
+@_site_update_batched_2f.def_vmap
+def _site_update_batched_2f_vmap(axis_size, in_batched, g, alpha, keys, G,
+                                 fields):
+    B = axis_size
+
+    def ensure(x, b):
+        return x if b else jnp.broadcast_to(
+            x[None], (B,) + tuple(jnp.shape(x)))
+
+    g = ensure(g, in_batched[0])
+    alpha = ensure(alpha, in_batched[1])
+    keys = ensure(keys, in_batched[2])
+    G = ensure(G, in_batched[3])
+    fields = ensure(fields, in_batched[4])
+    W = G.shape[1]
+    Gn, fn, an, sn = _site_update_batched_2f(
+        g.reshape(B * W), alpha.reshape(B * W),
+        keys.reshape((B * W,) + keys.shape[2:]),
+        G.reshape((B * W,) + G.shape[2:]),
+        fields.reshape((B * W,) + fields.shape[2:]))
+    out = (Gn.reshape(G.shape), fn.reshape(fields.shape),
+           an.reshape(B, W), sn.reshape(B, W))
+    return out, (True, True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def pallas_site_update_2f(model, key, G, fields_l):
+    """Two-flavor analogue of pallas_site_update (repulsive spin-channel
+    models: opposite couplings, det_power=1, sign tracking).  Returns
+    (G, fields_l, acc, sgn) — multiply sgn into the walker's running
+    sign.  Under vmap, batches flatten into one (R*W)-wide kernel exactly
+    like the 1-flavor path."""
+    G1, f1, a1, s1 = _site_update_batched_2f(
+        model.g.reshape(1), model.alpha.reshape(1), key[None], G[None],
+        fields_l[None])
+    return G1[0], f1[0], a1[0], s1[0]
+
+
+@pallas_site_update_2f.def_vmap
+def _pallas_site_update_2f_vmap(axis_size, in_batched, model, key, G,
+                                fields_l):
+    W = axis_size
+    mb = in_batched[0]
+
+    def ensure(x, b):
+        return x if b else jnp.broadcast_to(
+            x[None], (W,) + tuple(jnp.shape(x)))
+
+    g = model.g if mb.g else jnp.broadcast_to(model.g, (W,))
+    alpha = model.alpha if mb.alpha else jnp.broadcast_to(model.alpha, (W,))
+    key = ensure(key, in_batched[1])
+    G = ensure(G, in_batched[2])
+    fields_l = ensure(fields_l, in_batched[3])
+    out = _site_update_batched_2f(g, alpha, key, G, fields_l)
+    return out, (True, True, True, True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -98,7 +98,8 @@ def make_engine_config(params: Parameters, model,
     if n_stab is None:
         n_stab = _parse_n_stab(params)[0]
     default_impl = ("pallas" if jax.default_backend() != "cpu"
-                    and model.n_flavor == 1 and model.det_power == 2
+                    and ((model.n_flavor == 1 and model.det_power == 2)
+                         or (model.n_flavor == 2 and model.det_power == 1))
                     else "scan")
     impl = params.get_str("simulation", "site_update", default_impl)
     delay = params.get_int("simulation", "delay_rank", 32)

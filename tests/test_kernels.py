@@ -93,6 +93,93 @@ def test_custom_vmap_dispatches_to_batched():
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
 
 
+def test_two_flavor_kernel_matches_scan():
+    """The 2-flavor (repulsive) batched kernel must realize the exact
+    Markov chain of local_update_core — including sign flips on accepted
+    negative-ratio moves."""
+    from dqmc_tpu.models import RepulsiveHubbard
+    from dqmc_tpu.ops.kernels import _metropolis_batched_2f_impl
+
+    lat = square_lattice(4, 4)
+    ns, W = 16, 3
+    m = RepulsiveHubbard.build(lat, U=6.0, t=1.0, mu=-0.8, beta=4.0, nt=16,
+                               dtype=jnp.float64)
+    rng = np.random.default_rng(21)
+    G = jnp.asarray(rng.standard_normal((W, 2, ns, ns)) * 0.3
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(29), W)
+
+    g_vec = jnp.broadcast_to(m.g, (W,))
+    a_vec = jnp.broadcast_to(m.alpha, (W,))
+    G2, f2, a2, s2 = _metropolis_batched_2f_impl(g_vec, a_vec, keys, G, fl,
+                                                 k_delay=8, interpret=True)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
+    saw_flip = False
+    for w in range(W):
+        _, props, us = draw_slice_randoms(keys[w], ns, jnp.float64)
+        Gw, fw, aw, sw = local_update_core(m, G[w], fl[w], order, props, us)
+        assert bool((fw == f2[w]).all()), f"walker {w}"
+        np.testing.assert_allclose(np.asarray(Gw), np.asarray(G2[w]),
+                                   atol=1e-11)
+        np.testing.assert_allclose(float(aw), float(a2[w]))
+        assert float(sw) == float(s2[w])
+        saw_flip = saw_flip or float(sw) < 0
+    # the doped U=6 fake-G setup should exercise the sign path; if this
+    # ever goes quiet, reseed so the test keeps covering sign flips
+    assert saw_flip, "test inputs produced no sign flip to verify"
+
+
+def test_two_flavor_custom_vmap_dispatch():
+    """vmap(pallas_site_update_2f) flattens to the batched 2f kernel and
+    matches the unvmapped per-walker calls."""
+    from dqmc_tpu.models import RepulsiveHubbard
+    from dqmc_tpu.ops.kernels import pallas_site_update_2f
+
+    lat = square_lattice(4, 4)
+    ns, W = 16, 2
+    m = RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=0.0, beta=4.0, nt=16,
+                               dtype=jnp.float64)
+    rng = np.random.default_rng(31)
+    G = jnp.asarray(rng.standard_normal((W, 2, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(37), W)
+
+    G1, f1, a1, s1 = jax.vmap(
+        lambda k, g, f: pallas_site_update_2f(m, k, g, f))(keys, G, fl)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
+    for w in range(W):
+        _, props, us = draw_slice_randoms(keys[w], ns, jnp.float64)
+        Gw, fw, aw, sw = local_update_core(m, G[w], fl[w], order, props, us)
+        assert bool((fw == f1[w]).all())
+        np.testing.assert_allclose(np.asarray(Gw), np.asarray(G1[w]),
+                                   atol=1e-11)
+        assert float(sw) == float(s1[w])
+
+
+def test_two_flavor_pallas_sweep_matches_scan_sweep():
+    """Full sweep_pair on the repulsive model: the use_pallas engine path
+    (2-flavor kernel, interpret mode on CPU) must match the scan path's
+    chain — same fields, sign, and Green's function."""
+    from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair
+    from dqmc_tpu.models import RepulsiveHubbard
+
+    lat = square_lattice(4, 4)
+    m = RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.5, beta=2.0, nt=8,
+                               dtype=jnp.float64)
+    cfg_scan = EngineConfig(nt=8, n_stab=2)
+    cfg_pal = EngineConfig(nt=8, n_stab=2, use_pallas=True)
+    s0 = init_state(m, cfg_scan, jax.random.PRNGKey(41))
+    s1 = sweep_pair(m, cfg_scan, s0)
+    s2 = sweep_pair(m, cfg_pal, s0)
+    assert bool((s1.fields == s2.fields).all())
+    assert float(s1.sign) == float(s2.sign)
+    np.testing.assert_allclose(np.asarray(s1.G), np.asarray(s2.G),
+                               atol=1e-11)
+    np.testing.assert_allclose(float(s1.acc_sum), float(s2.acc_sum))
+
+
 def test_custom_vmap_model_batched_runs_one_kernel():
     """vmap over (model, state) — the replica-axis case — dispatches to the
     flat batched kernel with per-replica coupling scalars (shared
