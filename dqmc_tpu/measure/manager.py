@@ -129,6 +129,7 @@ class MeasurementManager:
         ctx = self.ctx
         scalar_fns = dict(self._scalar_fns)
         eq_fns = dict(self._eq_fns)
+        ns = ctx.n_sites
 
         def measure_one(G00, sign):
             # sign-weighted accumulation: for sign-free models sign == 1 and
@@ -136,8 +137,22 @@ class MeasurementManager:
             out = {("scalar", "sign"): sign}
             for name, fn in scalar_fns.items():
                 out[("scalar", name)] = fn(G00, ctx) * sign
-            for name, fn in eq_fns.items():
-                out[("eq", name)] = site_to_r(fn(G00, ctx), ctx) * sign
+            vals = {name: fn(G00, ctx) for name, fn in eq_fns.items()}
+            # plain (ns, ns) matrices share ONE pair-matmul site->r
+            # reduction (same batching as the unequal-time emit)
+            batch = [n for n, v in vals.items()
+                     if ctx.pair_cols is not None and v.shape == (ns, ns)]
+            if len(batch) > 1:
+                from dqmc_tpu.measure.transforms import site_to_r_batched
+                red = site_to_r_batched(
+                    jnp.stack([vals[n] for n in batch]), ctx)
+                for i, n in enumerate(batch):
+                    out[("eq", n)] = red[i] * sign
+            else:
+                batch = []
+            for name, v in vals.items():
+                if ("eq", name) not in out:
+                    out[("eq", name)] = site_to_r(v, ctx) * sign
             return out
 
         self._measure_eq_jit = jax.jit(jax.vmap(measure_one))
