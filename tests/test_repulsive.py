@@ -16,7 +16,45 @@ from dqmc_tpu.lattice import square_lattice
 from dqmc_tpu.measure import make_context, observables as obs
 from dqmc_tpu.models.repulsive_hubbard import RepulsiveHubbard
 
-from test_ed import ed_observables
+from test_ed import _ed_operators, ed_observables
+from dqmc_tpu.models.attractive_hubbard import build_kinetic_matrix
+
+
+def ed_spin_corrs(L, U_arg, t, mu, beta):
+    """Exact <S^z_0 S^z_j> and <S^x_0 S^x_j> for all sites j of an LxL
+    Hubbard model with H = K - U_arg (n_u - 1/2)(n_d - 1/2) (the same
+    convention as test_ed.ed_observables; pass U_arg = -U for the
+    repulsive model)."""
+    lat = square_lattice(L, L)
+    N = lat.n_sites
+    dim, c_dag_c = _ed_operators(2 * N)
+    K = build_kinetic_matrix(lat, t=t, mu=mu)
+    H = np.zeros((dim, dim))
+    for spin in (0, 1):
+        off = spin * N
+        for i in range(N):
+            for j in range(N):
+                if K[i, j] != 0.0:
+                    H += K[i, j] * c_dag_c(i + off, j + off)
+    n_ops = [c_dag_c(m, m) for m in range(2 * N)]
+    eye = np.eye(dim)
+    for i in range(N):
+        H -= U_arg * ((n_ops[i] - 0.5 * eye) @ (n_ops[i + N] - 0.5 * eye))
+    w, V = np.linalg.eigh(H)
+    w -= w.min()
+    boltz = np.exp(-beta * w)
+    Z = boltz.sum()
+
+    def expect(op):
+        return float(np.einsum("as,ab,bs,s->", V, op, V, boltz) / Z)
+
+    sz = [0.5 * (n_ops[i] - n_ops[i + N]) for i in range(N)]
+    sp = [c_dag_c(i, i + N) for i in range(N)]        # S+_i = c+_iu c_id
+    zz = np.array([expect(sz[0] @ sz[j]) for j in range(N)])
+    xx = np.array([0.25 * (expect(sp[0] @ sp[j].T.conj())
+                           + expect(sp[0].T.conj() @ sp[j]))
+                   for j in range(N)])
+    return zz, xx
 
 
 def test_structure():
@@ -91,6 +129,9 @@ def test_repulsive_vs_exact_diagonalization():
         return {
             "density": jax.vmap(lambda g: obs.density(g, ctx))(G),
             "doubleOcc": jax.vmap(lambda g: obs.double_occupancy(g, ctx))(G),
+            # site-pair rows (0, :) of the spin correlation matrices
+            "spinZZ": jax.vmap(lambda g: obs.spin_zz_corr(g, ctx)[0])(G),
+            "spinXX": jax.vmap(lambda g: obs.spin_xx_corr(g, ctx)[0])(G),
         }
 
     for _ in range(n_therm):
@@ -109,3 +150,18 @@ def test_repulsive_vs_exact_diagonalization():
         tol = 5 * sem + 0.06 * abs(ex) + 0.01
         assert abs(mean - ex) < tol, (
             f"{name}: DQMC {mean:.4f} +- {sem:.4f} vs ED {ex:.4f}")
+
+    # spin correlations <S^a_0 S^a_j> vs ED — validates the opt-in
+    # spinZZCorr/spinXXCorr observables on real 2-flavor chains (the
+    # z-channel HS decoupling restores SU(2) only statistically, so zz
+    # and xx converge to the same exact answer from different estimators)
+    zz_ex, xx_ex = ed_spin_corrs(L, -U, t, mu, beta)
+    for name, ex_vec in (("spinZZ", zz_ex), ("spinXX", xx_ex)):
+        vals = np.asarray(sums[name]) / n_meas            # (W, ns)
+        mean = vals.mean(axis=0)
+        sem = vals.std(axis=0, ddof=1) / np.sqrt(n_walkers)
+        for j in range(len(ex_vec)):
+            tol = 5 * sem[j] + 0.06 * abs(ex_vec[j]) + 0.01
+            assert abs(mean[j] - ex_vec[j]) < tol, (
+                f"{name}[0,{j}]: DQMC {mean[j]:.4f} +- {sem[j]:.4f} "
+                f"vs ED {ex_vec[j]:.4f}")
