@@ -76,11 +76,16 @@ class DFModelAux(NamedTuple):
     act: DF
 
 
-def _aux_from_np(expK64: np.ndarray, g64: float,
-                 alpha: float = -1.0) -> DFModelAux:
+def _aux_from_np(expK64: np.ndarray, g64: float, alpha: float = -1.0,
+                 n_flavor: int = 1) -> DFModelAux:
     eta = np.asarray(hsfield.ETA, np.float64)
     gamma = np.asarray(hsfield.GAMMA, np.float64)
-    tbl = np.exp(g64 * eta)[None, :]                    # (nfl=1, 4)
+    if n_flavor == 1:
+        tbl = np.exp(g64 * eta)[None, :]                # (1, 4)
+    else:
+        # 2-flavor repulsive spin channel: opposite couplings
+        # (models/repulsive_hubbard.py:99-105)
+        tbl = np.stack([np.exp(g64 * eta), np.exp(-g64 * eta)])
     th = np.float32(tbl)
     tl = np.float32(tbl - np.float64(th))
     kh = np.float32(expK64)
@@ -94,20 +99,22 @@ def _aux_from_np(expK64: np.ndarray, g64: float,
 
 
 def df_aux_build(lat, *, U: float, t: float, mu: float, beta: float,
-                 nt: int, bonds=None) -> DFModelAux:
+                 nt: int, bonds=None, n_flavor: int = 1) -> DFModelAux:
     """Build the df32 propagator constants host-side in full f64.
 
     Independent of ``jax_enable_x64`` (an f64-built *model* only exists
     in x64 sessions): recomputes expm(-dtau K) with scipy exactly like
     AttractiveHubbard.build (model.cpp:31-35) and splits it into df pairs
-    before anything touches the device."""
+    before anything touches the device.  n_flavor=2 builds the repulsive
+    spin-channel twin (opposite couplings, alpha = 0)."""
     import scipy.linalg
     from dqmc_tpu.models.attractive_hubbard import build_kinetic_matrix
     dtau = beta / nt
     K = build_kinetic_matrix(lat, t, mu, bonds=bonds)
     expK64 = scipy.linalg.expm(-dtau * K)
     g64 = float(np.sqrt(0.5 * abs(U) * dtau))
-    return _aux_from_np(expK64, g64)
+    alpha = -1.0 if n_flavor == 1 else 0.0
+    return _aux_from_np(expK64, g64, alpha=alpha, n_flavor=n_flavor)
 
 
 def df_aux_from(model64) -> DFModelAux:
@@ -301,10 +308,17 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
 
         if update:
             key, k_slice = jax.random.split(key)
-            if cfg.use_pallas:
+            if cfg.use_pallas and model32.n_flavor == 2 \
+                    and model32.det_power == 1:
+                from dqmc_tpu.ops.kernels import pallas_site_update_2f
+                G, fields_l, acc_l, sgn_l = pallas_site_update_2f(
+                    model32, k_slice, G, fields_l)
+                sign = sign * sgn_l
+            elif cfg.use_pallas:
                 if model32.n_flavor != 1 or model32.det_power != 2:
                     raise NotImplementedError(
-                        "pallas site-update kernel: single-flavor only")
+                        "pallas site-update kernel: single-flavor "
+                        "det_power=2 or two-flavor det_power=1 models only")
                 from dqmc_tpu.ops.kernels import pallas_site_update
                 G, fields_l, acc_l = pallas_site_update(
                     model32, k_slice, G, fields_l)

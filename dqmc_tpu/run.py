@@ -236,10 +236,6 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     model = model_cls.from_params(params, lat, dtype=dtype)
     df_aux = None
     if df_mode:
-        if model.n_flavor != 1:
-            raise NotImplementedError(
-                "dtype = df32 supports the single-flavor attractive model; "
-                "use float64 for sign-prone models")
         from dqmc_tpu.engine.df_sweep import df_aux_build
         from dqmc_tpu.lattice import nn_bonds
         df_aux = df_aux_build(
@@ -248,7 +244,8 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
             t=params.get_float("hubbard", "t"),
             mu=params.get_float("hubbard", "mu"),
             beta=float(model.beta), nt=nt,
-            bonds=nn_bonds(params.get_str("Lattice", "geometry", "square")))
+            bonds=nn_bonds(params.get_str("Lattice", "geometry", "square")),
+            n_flavor=model.n_flavor)
     # adaptive n_stab + resume: the stack shape depends on n_stab, so the
     # adapted value must be known before states are built
     ckpt_every = params.get_int("simulation", "checkpoint_every", 0)

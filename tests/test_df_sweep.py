@@ -79,6 +79,36 @@ def test_df_sweep_walker_vmap(setup):
     assert not np.array_equal(f[0], f[1])
 
 
+def test_df_sweep_two_flavor_repulsive():
+    """The df parity tier serves the 2-flavor repulsive model: after
+    sweeps, G_df (both flavors) must match the f64 engine's rebuild on
+    the same final fields, and the chain stays sign-free at half
+    filling."""
+    from dqmc_tpu.models import RepulsiveHubbard
+
+    kw = dict(U=4.0, t=1.0, mu=0.0, beta=4.0, nt=20)
+    lat = square_lattice(4, 4)
+    m32 = RepulsiveHubbard.build(lat, dtype=jnp.float32, **kw)
+    m64 = RepulsiveHubbard.build(lat, dtype=jnp.float64, **kw)
+    aux = df_aux_build(lat, n_flavor=2, **kw)
+    assert aux.expv.hi.shape == (2, 4)
+    cfg = EngineConfig(nt=kw["nt"], n_stab=5)
+
+    st = init_state_df(m32, aux, cfg, jax.random.PRNGKey(11))
+    for _ in range(3):
+        st = df_sweep_pair(m32, aux, cfg, st)
+    assert 0.1 < float(st.acc_sum) / 6 < 0.9
+    assert float(st.sign) == 1.0            # PH-symmetric: sign-free
+    _, G64, ld64 = rebuild_stack_and_greens(m64, cfg,
+                                            st.fields.astype(jnp.int32))
+    assert G64.shape == (2, 16, 16)
+    err = float(jnp.max(jnp.abs(df32.to_f64(st.G_df) - G64)))
+    assert err < 1e-6, err
+    assert float(jnp.max(jnp.abs(st.G - st.G_df.hi))) == 0.0
+    np.testing.assert_allclose(np.asarray(st.log_det_M),
+                               np.asarray(ld64), atol=1e-2)
+
+
 def test_df_sweep_deterministic(setup):
     """Same key -> bit-identical trajectory."""
     lat, m32, m64, aux, cfg = setup
