@@ -27,7 +27,8 @@ from typing import Dict, List
 import h5py
 import numpy as np
 
-from dqmc_tpu.analysis.jackknife import jackknife, jackknife_array
+from dqmc_tpu.analysis.jackknife import (jackknife, jackknife_array,
+                                         jackknife_ratio_array)
 
 
 def is_pt_enabled(param_file: str = "parameters.in") -> bool:
@@ -139,12 +140,36 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
     n_orb = info.get("n_orb", 1)
     scalars, eq_r, eq_k, uneq_r, uneq_k = load_bins(results_dir, pt)
 
+    # Sign reweighting: sign-prone runs store every observable
+    # sign-weighted (<O s> per bin) plus the <s> series as a "sign" scalar
+    # (measure/manager.py).  The physical estimator is the ratio
+    # <O s>/<s>, jackknifed jointly (numerator and denominator correlate).
+    # Sign-free runs have no "sign" dataset and analyze exactly as before.
+    sign_bins = None
+    if "sign" in scalars and len(scalars["sign"]) >= 2:
+        sign_bins = np.asarray(scalars["sign"], dtype=np.float64)
+        log(f"sign-prone run: reweighting by <sign> = {sign_bins.mean():.4f}")
+
+    def jk(bins):
+        if sign_bins is None:
+            return jackknife(np.asarray(bins), use_native=use_native)
+        return jackknife_ratio_array(np.asarray(bins), sign_bins)
+
+    def jk_array(bins):
+        if sign_bins is None:
+            return jackknife_array(np.asarray(bins), use_native=use_native)
+        return jackknife_ratio_array(np.asarray(bins), sign_bins)
+
     results = {}
     if scalars:
         with open(os.path.join(out_dir, "scalarObservables.dat"), "w") as f:
             f.write("# Observable Mean Error\n")
             for name, bins in scalars.items():
-                mean, err = jackknife(np.asarray(bins), use_native=use_native)
+                if name == "sign":   # <s> itself: plain jackknife
+                    mean, err = jackknife(np.asarray(bins),
+                                          use_native=use_native)
+                else:
+                    mean, err = jk(bins)
                 results[name] = (mean, err)
                 f.write(f"{name} {mean} {err}\n")
 
@@ -155,7 +180,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # equal-time, real space: columns rx ry a b mean error
     for name, bins in eq_r.items():
-        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
+        mean, err = jk_array(bins)
         nx, ny, S = mean.shape
         with open(os.path.join(obs_dir(name), "statr.dat"), "w") as f:
             f.write(f"# Equal-time observable: {name} (Real space)\n")
@@ -171,7 +196,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # equal-time, k space: complex columns
     for name, bins in eq_k.items():
-        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
+        mean, err = jk_array(bins)
         nkx, nky, S = mean.shape
         with open(os.path.join(obs_dir(name), "statk.dat"), "w") as f:
             f.write(f"# Equal-time observable: {name} (K-space)\n")
@@ -189,7 +214,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # unequal-time, real space: columns rx ry a b tau mean error (+ statr0)
     for name, bins in uneq_r.items():
-        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
+        mean, err = jk_array(bins)
         nx, ny, S = mean.shape
         n_tau = S // (n_orb * n_orb)
         d = obs_dir(name)
@@ -217,7 +242,7 @@ def analyze(results_dir: str = "results", param_file: str = "parameters.in",
 
     # unequal-time, k space
     for name, bins in uneq_k.items():
-        mean, err = jackknife_array(np.asarray(bins), use_native=use_native)
+        mean, err = jk_array(bins)
         nkx, nky, S = mean.shape
         n_tau = S // (n_orb * n_orb)
         with open(os.path.join(obs_dir(name), "statk.dat"), "w") as f:

@@ -38,6 +38,38 @@ def jackknife(data: np.ndarray, use_native: bool = False) -> Tuple[float, float]
     return float(full_mean), float(np.sqrt(var))
 
 
+def jackknife_ratio_array(num: np.ndarray, den: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Jackknife of the ratio <num>/<den> over bins (axis 0 of num; den is
+    the matching (n,) scalar series).
+
+    The sign-reweighting estimator for sign-prone models: observables are
+    accumulated sign-weighted (<O s> per bin) alongside the <s> series, and
+    the physical value is <O s>/<s>.  The delete-1 estimator drops bin i
+    from BOTH series jointly, which propagates the numerator/denominator
+    correlation into the error (a naive error quotient does not).
+    Supports scalar (1D num) and array (N-D num) observables; complex
+    numerators use direct complex arithmetic like jackknife_array.
+    """
+    num = np.asarray(num)
+    den = np.asarray(den, dtype=np.float64)
+    n = num.shape[0]
+    if n < 2:
+        raise ValueError("Need at least 2 bins for jackknife analysis")
+    if den.shape != (n,):
+        raise ValueError("denominator series must be (n_bins,)")
+    mean = num.mean(axis=0) / den.mean()
+    loo_num = (num.sum(axis=0, keepdims=True) - num) / (n - 1)
+    loo_den = (den.sum() - den) / (n - 1)
+    theta = loo_num / loo_den.reshape((n,) + (1,) * (num.ndim - 1))
+    var = ((theta - theta.mean(axis=0, keepdims=True)) ** 2).sum(axis=0) \
+        * (n - 1) / n
+    err = np.sqrt(var)
+    if num.ndim == 1:
+        return float(mean), float(err) if not np.iscomplexobj(err) else err
+    return mean, err
+
+
 def jackknife_array(data: np.ndarray,
                     use_native: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Elementwise jackknife over axis 0 (bins).  Complex data uses direct
