@@ -204,7 +204,6 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
                            verbose: bool = True):
     from dqmc_tpu.lattice import make_lattice
     from dqmc_tpu.measure import MeasurementManager
-    from dqmc_tpu.models import AttractiveHubbard
     from dqmc_tpu.parallel.walkers import stack_models
     from dqmc_tpu.run import (RunSummary, _rank0_log, _resolve_dtype,
                               global_stats, make_engine_config)
@@ -241,9 +240,13 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
                        params.get_int("Lattice", "L1"),
                        params.get_int("Lattice", "L2"))
     lat.save_info(os.path.join(out_dir, "info"))
+    from dqmc_tpu.models import MODEL_REGISTRY
+    model_cls = MODEL_REGISTRY[params.get_str("hubbard", "model",
+                                              "attractive")]
     models = stack_models([
-        AttractiveHubbard.from_params(params, lat, beta=b, dtype=dtype)
+        model_cls.from_params(params, lat, beta=b, dtype=dtype)
         for b in betas])
+    signed = models.det_power == 1    # sign-prone family: weight by sign
     cfg = make_engine_config(params, models)
     auxs = None
     if df_mode:
@@ -255,7 +258,8 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         mu = params.get_float("hubbard", "mu")
         auxs = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
-            *[df_aux_build(lat, U=U, t=t, mu=mu, beta=b, nt=nt, bonds=bonds)
+            *[df_aux_build(lat, U=U, t=t, mu=mu, beta=b, nt=nt, bonds=bonds,
+                           n_flavor=models.n_flavor)
               for b in betas])
     log(f"Parallel Tempering enabled: {R} replicas, betas={betas}, "
         f"{lat.L1}x{lat.L2}, nt={nt}, "
@@ -375,10 +379,13 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         states = step(states)
         if uneq and uneq_fn is not None:
             ys, err_u = uneq_step(models, states)
+            if signed:   # sign-weight tau-resolved data too (cf. run.py)
+                s = states.sign.reshape((-1,) + (1,) * 4)
+                ys = {k: v * s for k, v in ys.items()}
             manager.measure_unequal_result(ys)
             err_uneq_max = max(err_uneq_max, float(jnp.max(err_u)))
         G = warp(models, states.G) if symmetric else states.G
-        manager.measure_equal(G)
+        manager.measure_equal(G, signs=states.sign if signed else None)
         if isweep % n_sweeps == 0:
             manager.accumulate()
             if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:

@@ -171,6 +171,50 @@ betas = 2.0, 1.5, 1.0, 0.5
         assert (tmp_path / "results" / f"data_{r}.h5").exists()
 
 
+def test_pt_driver_repulsive_end_to_end(tmp_path):
+    """PT generalizes beyond the flagship model: a repulsive (2-flavor,
+    det_power=1) replica ladder runs end-to-end, stays sign-free at half
+    filling, and the analysis reweights by the recorded <sign> = 1."""
+    cfgtext = """
+[Lattice]
+L1 = 2
+L2 = 2
+[hubbard]
+model = repulsive
+U = 4.0
+t = 1.0
+mu = 0.0
+[simulation]
+beta = 2.0
+nt = 8
+n_therms = 3
+n_sweeps = 2
+n_bins = 2
+n_stab = 2
+seed = 9
+dtype = float64
+[ParallelTempering]
+enabled = true
+sweep_steps = 2
+betas = 2.0, 1.0
+"""
+    params = Parameters.from_string(cfgtext)
+    from dqmc_tpu.run import run_simulation
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        summary = run_simulation(params, out_dir=str(tmp_path / "results"),
+                                 verbose=False)
+    finally:
+        os.chdir(cwd)
+    assert summary.n_walkers == 2
+    assert summary.max_precision_error < 1e-8
+    import h5py
+    with h5py.File(tmp_path / "results" / "data_0.h5") as f:
+        assert float(f["bin_0/scalar/sign"][()][0]) == 1.0
+        assert "bin_0/scalar/density" in f
+
+
 def test_f64_actions_match_f64_chain_decisions():
     """An f32 chain with f64_actions=True must make the same exchange
     decisions as an all-f64 replica set holding the same fields (the f32
