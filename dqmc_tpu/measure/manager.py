@@ -116,10 +116,14 @@ class MeasurementManager:
 
     def add_spin(self) -> None:
         """Register the opt-in magnetic set ([simulation] measure_spin =
-        true): spin-z and spin-x correlation matrices (beyond-reference)."""
+        true): spin-z and spin-x correlation matrices, plus the
+        time-displaced <Sz(tau) Sz> when unequal-time measurement is on
+        (beyond-reference)."""
         from dqmc_tpu.measure import observables as obs
         for name, fn in obs.SPIN_OBSERVABLES.items():
             self.add_equal_time(name, fn)
+        for name, fn in obs.SPIN_UNEQUAL_TIME_OBSERVABLES.items():
+            self.add_unequal_time(name, fn)
 
     # ------------------------------------------------------------------
     # fused measurement kernels

@@ -117,6 +117,26 @@ def doublon_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
     return Gt0[0] * Gt0[-1]
 
 
+def spinzz_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
+    """Time-displaced spin correlation <S^z_i(tau) S^z_j(0)> — the input
+    to the dynamic spin structure factor / magnetic susceptibility
+    (beyond-reference; registered with [simulation] measure_spin).
+
+    Wick with independent flavors: <n_is(tau) n_js(0)> = n_is(tau) n_js(0)
+    - G0t_s(j,i) Gt0_s(i,j) (cross contraction, same pattern as the
+    currxx terms, model.cpp:346-392); cross-flavor terms factorize, so
+        <Sz_i(tau) Sz_j> = 1/4 [ m_i(tau) m_j(0)
+                                 - sum_s G0t_s(j,i) Gt0_s(i,j) ],
+    m_i(tau) = Gtt_dn(i,i) - Gtt_up(i,i).  At tau = 0 (Gtt = G00 = G,
+    Gt0 = G, G0t = G - I) this reduces exactly to spin_zz_corr (pinned in
+    tests/test_measure.py).
+    """
+    m_tau = jnp.diagonal(Gtt[-1]) - jnp.diagonal(Gtt[0])   # (ns,)
+    m_0 = jnp.diagonal(G00[-1]) - jnp.diagonal(G00[0])
+    X = G0t[0].T * Gt0[0] + G0t[-1].T * Gt0[-1]
+    return 0.25 * (m_tau[:, None] * m_0[None, :] - X)
+
+
 def currxx_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
     """x-current correlator <j_x(i,tau) j_x(j,0)> (model.cpp:346-392),
     input to the superfluid stiffness.
@@ -179,6 +199,12 @@ EQUAL_TIME_OBSERVABLES = {
 SPIN_OBSERVABLES = {
     "spinZZCorr": spin_zz_corr,
     "spinXXCorr": spin_xx_corr,
+}
+
+# tau-resolved half of the opt-in magnetic set (registered only when
+# unequal-time measurement is on, like every unequal-time observable)
+SPIN_UNEQUAL_TIME_OBSERVABLES = {
+    "spinzzTau": spinzz_tau,
 }
 
 UNEQUAL_TIME_OBSERVABLES = {

@@ -211,6 +211,53 @@ def test_currxx_vs_loops(rng):
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 
+def test_spinzz_tau_reduces_to_equal_time(rng):
+    """At tau = 0 (Gtt = G00 = G, Gt0 = G, G0t = G - I) the time-displaced
+    spin correlator must equal spin_zz_corr exactly — for independent
+    up/down G (repulsive layout) and the spin-symmetric case."""
+    lat = square_lattice(4, 4)
+    ctx = make_context(lat)
+    ns = 16
+    for nfl in (1, 2):
+        G = jnp.asarray(rng.standard_normal((nfl, ns, ns)) * 0.2
+                        + 0.5 * np.eye(ns))
+        eye = jnp.eye(ns, dtype=G.dtype)
+        got = obs.spinzz_tau(G, G, G - eye, G, ctx)
+        want = obs.spin_zz_corr(G, ctx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-12)
+
+
+def test_spinzz_tau_free_fermion():
+    """U=0 check: <Sz_i(tau) Sz_j> from the DQMC triplet must match the
+    analytic free-fermion Wick expression built from the exact
+    single-particle propagators."""
+    lat = square_lattice(4, 4)
+    ctx = make_context(lat)
+    beta, nt, ns = 4.0, 16, 16
+    model = AttractiveHubbard.build(lat, U=0.0, t=1.0, mu=-0.1, beta=beta,
+                                    nt=nt)
+    cfg = EngineConfig(nt=nt, n_stab=4)
+    K = build_kinetic_matrix(lat, t=1.0, mu=-0.1)
+
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    state = sweep_pair(model, cfg, state)
+    ys, err = sweep_unequal_time(model, cfg, state)
+    assert float(err) < 1e-11
+    dtau = beta / nt
+    for l in (0, 5, 12):
+        got = np.asarray(obs.spinzz_tau(ys.Gtt[l], ys.Gt0[l], ys.G0t[l],
+                                        ys.Gtt[0], ctx))
+        gtt = golden.free_fermion_gtt(K, beta)          # spin-symmetric
+        gt0 = golden.free_fermion_gt0(K, beta, l * dtau)
+        g0t = np.asarray(ys.G0t[l, 0])
+        # m(tau) = m(0) = 0 for equal spins; exchange term only
+        want = 0.25 * (-2.0 * g0t.T * gt0)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+        # sanity: the spin-symmetric m-product vanishes
+        assert abs(np.asarray(ys.Gtt[l, 0] - ys.Gtt[l, -1]).max()) < 1e-12
+
+
 def test_unequal_time_free_fermion():
     """U=0: Gt0(tau) must match the analytic free propagator at every tau."""
     lat = square_lattice(4, 4)
