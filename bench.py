@@ -165,7 +165,11 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str):
     lat = square_lattice(L, L)
     model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
                                     nt=NT, dtype=dtype)
-    cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=dtype == jnp.float32)
+    # same engine choices as tpu_throughput: Pallas site updates for f32,
+    # delayed rank-k for f64 (the rank-1 scan is not a representative path)
+    cfg = (EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
+           if dtype == jnp.float32
+           else EngineConfig(nt=NT, n_stab=NSTAB, delay_rank=32))
     fused = dtype == jnp.float32 and supports_fused(model, cfg)
 
     manager = MeasurementManager(lat, n_walkers=n_walkers,

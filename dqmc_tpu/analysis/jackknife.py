@@ -65,8 +65,8 @@ def jackknife_ratio_array(num: np.ndarray, den: np.ndarray
     var = ((theta - theta.mean(axis=0, keepdims=True)) ** 2).sum(axis=0) \
         * (n - 1) / n
     err = np.sqrt(var)
-    if num.ndim == 1:
-        return float(mean), float(err) if not np.iscomplexobj(err) else err
+    if num.ndim == 1 and not np.iscomplexobj(num):
+        return float(mean), float(err)
     return mean, err
 
 

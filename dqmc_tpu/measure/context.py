@@ -74,17 +74,19 @@ def _shift_onehot(L: int, off: int, dtype) -> np.ndarray:
 _PAIR_REDUCE_BYTES_CAP = 96 * 2**20
 
 
-def _pair_cols_vector(lat: Lattice) -> np.ndarray | None:
+def _pair_cols_vector(lat: Lattice, itemsize: int = 4) -> np.ndarray | None:
     """Column indices of the one-hot site-pair -> displacement matrix.
 
     Entry i*ns + j is (dx*L2 + dy)*no^2 + a*no + b where (dx, dy) is the
     (offset-indexed) displacement from i's cell to j's cell and (a, b)
     their orbitals — the same index conventions as
     Lattice.displacement_table / the reference's chi_site_to_chi_r
-    (measurementh5.h:20-66)."""
+    (measurementh5.h:20-66).  ``itemsize`` is the measurement dtype's
+    width: the dense one-hot materializes in that dtype, so the cap must
+    account for it (an f64 context halves the covered lattice sizes)."""
     ns, no, nc = lat.n_sites, lat.n_orb, lat.n_cells
     nd = lat.L1 * lat.L2 * no * no
-    if ns * ns * nd * 4 > _PAIR_REDUCE_BYTES_CAP:
+    if ns * ns * nd * itemsize > _PAIR_REDUCE_BYTES_CAP:
         return None
     T = lat.displacement_table()                      # (L1, L2, nc)
     cols_vec = np.zeros(ns * ns, np.int32)
@@ -104,7 +106,7 @@ def _pair_cols_vector(lat: Lattice) -> np.ndarray | None:
 def make_context(lat: Lattice, dtype=jnp.float64) -> MeasurementContext:
     from dqmc_tpu.lattice import _half_offset
     phases = lat.kspace_phases()
-    pair = _pair_cols_vector(lat)
+    pair = _pair_cols_vector(lat, jnp.dtype(dtype).itemsize)
     return MeasurementContext(
         L1=lat.L1, L2=lat.L2, n_orb=lat.n_orb, n_cells=lat.n_cells,
         n_sites=lat.n_sites,

@@ -142,21 +142,9 @@ class MeasurementManager:
             for name, fn in scalar_fns.items():
                 out[("scalar", name)] = fn(G00, ctx) * sign
             vals = {name: fn(G00, ctx) for name, fn in eq_fns.items()}
-            # plain (ns, ns) matrices share ONE pair-matmul site->r
-            # reduction (same batching as the unequal-time emit)
-            batch = [n for n, v in vals.items()
-                     if ctx.pair_cols is not None and v.shape == (ns, ns)]
-            if len(batch) > 1:
-                from dqmc_tpu.measure.transforms import site_to_r_batched
-                red = site_to_r_batched(
-                    jnp.stack([vals[n] for n in batch]), ctx)
-                for i, n in enumerate(batch):
-                    out[("eq", n)] = red[i] * sign
-            else:
-                batch = []
-            for name, v in vals.items():
-                if ("eq", name) not in out:
-                    out[("eq", name)] = site_to_r(v, ctx) * sign
+            from dqmc_tpu.measure.transforms import site_to_r_all
+            for name, red in site_to_r_all(vals, ctx).items():
+                out[("eq", name)] = red * sign
             return out
 
         self._measure_eq_jit = jax.jit(jax.vmap(measure_one))
@@ -170,30 +158,14 @@ class MeasurementManager:
         if self._uneq_measure_fn is None:
             ctx = self.ctx
             uneq_fns = dict(self._uneq_fns)
-            ns = ctx.n_sites
 
             def emit(Gtt, Gt0, G0t, G00):
+                # all plain (ns, ns) observables share ONE pair-matmul
+                # site->r reduction per tau (see transforms.site_to_r_all)
+                from dqmc_tpu.measure.transforms import site_to_r_all
                 vals = {name: fn(Gtt, Gt0, G0t, G00, ctx)
                         for name, fn in uneq_fns.items()}
-                out = {}
-                # stack all plain (ns, ns) observables into ONE pair-matmul
-                # site->r reduction so the one-hot matrix streams from HBM
-                # once per tau (site_to_r_batched), not once per observable
-                batch = [n for n, v in vals.items()
-                         if ctx.pair_cols is not None
-                         and v.shape == (ns, ns)]
-                if len(batch) > 1:
-                    from dqmc_tpu.measure.transforms import site_to_r_batched
-                    red = site_to_r_batched(
-                        jnp.stack([vals[n] for n in batch]), ctx)
-                    for i, n in enumerate(batch):
-                        out[n] = red[i]
-                else:
-                    batch = []
-                for name, v in vals.items():
-                    if name not in out:
-                        out[name] = site_to_r(v, ctx)
-                return out
+                return site_to_r_all(vals, ctx)
 
             self._uneq_measure_fn = emit
         return self._uneq_measure_fn

@@ -56,6 +56,27 @@ def site_to_r_batched(chis, ctx: MeasurementContext):
     return out.reshape(lead + (ctx.L1, ctx.L2, ctx.n_orb * ctx.n_orb))
 
 
+def site_to_r_all(vals, ctx: MeasurementContext):
+    """dict name -> site-pair array, reduced to displacement space.
+
+    Plain (ns, ns) entries share ONE pair-matmul reduction (the one-hot
+    operand builds/streams once); everything else goes through the
+    general site_to_r.  The shared helper behind both the equal-time and
+    the per-tau unequal-time measurement emits."""
+    ns = ctx.n_sites
+    out = {}
+    batch = [n for n, v in vals.items()
+             if ctx.pair_cols is not None and v.shape == (ns, ns)]
+    if len(batch) > 1:
+        red = site_to_r_batched(jnp.stack([vals[n] for n in batch]), ctx)
+        for i, n in enumerate(batch):
+            out[n] = red[i]
+    for name, v in vals.items():
+        if name not in out:
+            out[name] = site_to_r(v, ctx)
+    return out
+
+
 def site_to_r(chi, ctx: MeasurementContext):
     """chi (ns, ns) or (ns, ns, S) site-pair array -> (L1, L2, n_orb^2 * S)
     displacement array, averaged over cells (1/n_cells, measurementh5.h:61).

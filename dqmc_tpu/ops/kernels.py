@@ -514,7 +514,8 @@ def _metropolis_batched_2f_impl(g_vec: jax.Array, alpha_vec: jax.Array,
         Gu, Gd, fields_new, acc, sgn = call_block(
             ga, props_t, us_t, fields.astype(jnp.int32), G[:, 0], G[:, 1])
     else:
-        tv = lambda x: x.T.reshape(n_blocks, WB, ns).transpose(0, 2, 1)
+        # walker-major (W, ns) -> per-block site-major (n_blocks, ns, WB)
+        tv = lambda x: x.reshape(n_blocks, WB, ns).transpose(0, 2, 1)
         Gu, Gd, fields_new, acc, sgn = jax.vmap(call_block)(
             ga.reshape(n_blocks, WB, 2), tv(props_t.T), tv(us_t.T),
             fields.astype(jnp.int32).reshape(n_blocks, WB, ns),

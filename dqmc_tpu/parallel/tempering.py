@@ -140,6 +140,10 @@ def replica_exchange(models, cfg: EngineConfig, states: WalkerState,
         G=sel(G_x, states.G),
         stack=jax.tree_util.tree_map(sel, stack_x, states.stack),
         log_det_M=sel(log_det_x, states.log_det_M),
+        # the Metropolis sign belongs to the CONFIGURATION: it travels
+        # with the fields on an accepted swap (stale signs would corrupt
+        # every subsequent sign-weighted bin for sign-prone replicas)
+        sign=sel(jnp.take(states.sign, partner, axis=0), states.sign),
     )
     return states, accept
 
@@ -192,6 +196,8 @@ def replica_exchange_df(auxs, cfg: EngineConfig, states, attempt: jax.Array,
         G_df=jax.tree_util.tree_map(sel, G_x_df, states.G_df),
         stack=jax.tree_util.tree_map(sel, stack_x, states.stack),
         log_det_M=sel(log_det_x, states.log_det_M),
+        # sign travels with the configuration (see replica_exchange)
+        sign=sel(jnp.take(states.sign, partner, axis=0), states.sign),
     )
     return states, accept
 
@@ -369,8 +375,9 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
             attempt += 1
             key, k_ex = jax.random.split(key)
             if df_mode:
-                states, acc = replica_exchange_df(auxs, cfg, states,
-                                                  jnp.asarray(attempt), k_ex)
+                states, acc = replica_exchange_df(
+                    auxs, cfg, states, jnp.asarray(attempt), k_ex,
+                    det_power=models.det_power)
             else:
                 states, acc = replica_exchange(models, cfg, states,
                                                jnp.asarray(attempt), k_ex,

@@ -130,6 +130,64 @@ def test_two_flavor_kernel_matches_scan():
     assert saw_flip, "test inputs produced no sign flip to verify"
 
 
+def test_two_flavor_multiblock_matches_scan(monkeypatch):
+    """Regression: with the walker axis split into MULTIPLE kernel blocks
+    (forced WB = W//2), every walker must still realize its own stream —
+    a transpose slip in the per-block stream reshapes scrambled walkers
+    across blocks and only single-block tests passed."""
+    from dqmc_tpu.models import RepulsiveHubbard
+    from dqmc_tpu.ops import kernels as K
+
+    monkeypatch.setattr(K, "_pick_block",
+                        lambda W, ns, k, itemsize=4, budget=0: W // 2)
+    lat = square_lattice(4, 4)
+    ns, W = 16, 4
+    m = RepulsiveHubbard.build(lat, U=6.0, t=1.0, mu=-0.8, beta=4.0, nt=16,
+                               dtype=jnp.float64)
+    rng = np.random.default_rng(51)
+    G = jnp.asarray(rng.standard_normal((W, 2, ns, ns)) * 0.3
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(53), W)
+
+    g_vec = jnp.broadcast_to(m.g, (W,))
+    a_vec = jnp.broadcast_to(m.alpha, (W,))
+    G2, f2, a2, s2 = K._metropolis_batched_2f_impl(
+        g_vec, a_vec, keys, G, fl, k_delay=8, interpret=True)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
+    for w in range(W):
+        _, props, us = draw_slice_randoms(keys[w], ns, jnp.float64)
+        Gw, fw, aw, sw = local_update_core(m, G[w], fl[w], order, props, us)
+        assert bool((fw == f2[w]).all()), f"walker {w}"
+        np.testing.assert_allclose(np.asarray(Gw), np.asarray(G2[w]),
+                                   atol=1e-11)
+        assert float(sw) == float(s2[w])
+
+
+def test_one_flavor_multiblock_matches_scan(monkeypatch):
+    """Same multi-block regression for the 1-flavor batched kernel."""
+    from dqmc_tpu.ops import kernels as K
+
+    monkeypatch.setattr(K, "_pick_block",
+                        lambda W, ns, k, itemsize=4, budget=0: W // 2)
+    m, _, _ = setup()
+    ns, W = 16, 4
+    rng = np.random.default_rng(55)
+    G = jnp.asarray(rng.standard_normal((W, 1, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(57), W)
+    G2, f2, a2 = K.metropolis_slice_update_batched(m, keys, G, fl,
+                                                   k_delay=8, interpret=True)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
+    for w in range(W):
+        _, props, us = draw_slice_randoms(keys[w], ns, jnp.float64)
+        Gw, fw, aw, _ = local_update_core(m, G[w], fl[w], order, props, us)
+        assert bool((fw == f2[w]).all()), f"walker {w}"
+        np.testing.assert_allclose(np.asarray(Gw), np.asarray(G2[w]),
+                                   atol=1e-12)
+
+
 def test_two_flavor_custom_vmap_dispatch():
     """vmap(pallas_site_update_2f) flattens to the batched 2f kernel and
     matches the unvmapped per-walker calls."""

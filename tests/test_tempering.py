@@ -171,6 +171,39 @@ betas = 2.0, 1.5, 1.0, 0.5
         assert (tmp_path / "results" / f"data_{r}.h5").exists()
 
 
+def test_exchange_swaps_sign_with_configuration():
+    """Regression: the Metropolis sign belongs to the configuration and
+    must travel with the fields on an accepted swap (a stale sign corrupts
+    every subsequent sign-weighted bin for sign-prone replicas)."""
+    import dataclasses
+
+    from dqmc_tpu.lattice import square_lattice
+    from dqmc_tpu.models import RepulsiveHubbard
+    from dqmc_tpu.parallel.tempering import (partner_indices,
+                                             replica_exchange)
+    from dqmc_tpu.parallel.walkers import stack_models
+
+    lat = square_lattice(2, 2)
+    cfg = EngineConfig(nt=4, n_stab=2)
+    # equal betas => dS = 0 => every exchange accepts
+    models = stack_models([
+        RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.3, beta=2.0, nt=4,
+                               dtype=jnp.float64) for _ in range(2)])
+    states = jax.vmap(lambda m, k: init_state(m, cfg, k))(
+        models, jax.random.split(jax.random.PRNGKey(2), 2))
+    states = dataclasses.replace(
+        states, sign=jnp.asarray([1.0, -1.0], jnp.float64))
+    attempt = jnp.asarray(1)
+    out, accept = replica_exchange(models, cfg, states, attempt,
+                                   jax.random.PRNGKey(5))
+    assert bool(jnp.all(accept))
+    partner = np.asarray(partner_indices(2, 1))
+    np.testing.assert_array_equal(np.asarray(out.fields),
+                                  np.asarray(states.fields)[partner])
+    np.testing.assert_array_equal(np.asarray(out.sign),
+                                  np.asarray(states.sign)[partner])
+
+
 def test_pt_driver_repulsive_end_to_end(tmp_path):
     """PT generalizes beyond the flagship model: a repulsive (2-flavor,
     det_power=1) replica ladder runs end-to-end, stays sign-free at half
