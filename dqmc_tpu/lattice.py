@@ -244,6 +244,21 @@ def nn_bonds(geometry: str) -> List[Tuple[Tuple[int, int], int, int]]:
     raise ValueError(f"unknown geometry: {geometry}")
 
 
+def bonds_with_tp(geometry: str, tp: float):
+    """NN bond set plus next-nearest-neighbour bonds of amplitude ``tp``
+    (the [hubbard] tp key; 4-tuple bonds carry their own amplitude —
+    see models.build_kinetic_matrix).  t' frustrates the square lattice
+    and breaks particle-hole symmetry (beyond reference capability)."""
+    bonds = list(nn_bonds(geometry))
+    if tp:
+        if geometry != "square":
+            raise NotImplementedError(
+                "tp (next-nearest hopping) is implemented for the square "
+                "geometry; extend bonds_with_tp for others")
+        bonds += [((1, 1), 0, 0, tp), ((1, -1), 0, 0, tp)]
+    return bonds
+
+
 def make_lattice(geometry: str, L1: int, L2: int) -> Lattice:
     builders = {"square": square_lattice, "triangular": triangular_lattice,
                 "honeycomb": honeycomb_lattice}

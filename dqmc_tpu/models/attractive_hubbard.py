@@ -51,25 +51,29 @@ def build_kinetic_matrix(lat: Lattice, t: float, mu: float,
     """Hopping + chemical-potential matrix K (model.cpp:39-60), generalized
     to any bond set.
 
-    K[i,i] = -mu; K[i,j] = K[j,i] = -t for every bond (delta, orb_a,
-    orb_b): site (cell, orb_a) -> (cell+delta, orb_b) with PBC.  Default
-    bonds are the square lattice's +x/+y (the reference's hardcoded case);
-    pass `dqmc_tpu.lattice.nn_bonds(geometry)` for triangular/honeycomb.
-    Assignment (not accumulation) semantics match the reference, which
-    writes K(i,j) = -t — relevant only for L=2 where +x and -x bonds
-    coincide.
+    K[i,i] = -mu; K[i,j] = K[j,i] = -amp for every bond: site
+    (cell, orb_a) -> (cell+delta, orb_b) with PBC.  Bond entries are
+    (delta, orb_a, orb_b) with amplitude ``t``, or (delta, orb_a, orb_b,
+    amp) with an explicit amplitude (e.g. next-nearest-neighbour t').
+    Default bonds are the square lattice's +x/+y (the reference's
+    hardcoded case); pass `dqmc_tpu.lattice.nn_bonds(geometry)` for
+    triangular/honeycomb.  Assignment (not accumulation) semantics match
+    the reference, which writes K(i,j) = -t — relevant only for L=2 where
+    +x and -x bonds coincide.
     """
     if bonds is None:
         bonds = [((1, 0), 0, 0), ((0, 1), 0, 0)]
     ns = lat.n_sites
     K = np.zeros((ns, ns))
     np.fill_diagonal(K, -mu)
-    for delta, orb_a, orb_b in bonds:
+    for bond in bonds:
+        delta, orb_a, orb_b = bond[:3]
+        amp = bond[3] if len(bond) > 3 else t
         for cell in range(lat.n_cells):
             i = lat.cell_to_site(cell, orb_a)
             j = lat.site_neighbor(i, delta, orb_b)
-            K[i, j] = -t
-            K[j, i] = -t
+            K[i, j] = -amp
+            K[j, i] = -amp
     return K
 
 
@@ -147,8 +151,10 @@ class AttractiveHubbard:
     @classmethod
     def from_params(cls, params: Parameters, lat: Lattice, *,
                     beta: float | None = None, dtype=jnp.float64):
-        from dqmc_tpu.lattice import nn_bonds
+        from dqmc_tpu.lattice import bonds_with_tp
         geometry = params.get_str("Lattice", "geometry", "square")
+        bonds = bonds_with_tp(geometry,
+                              params.get_float("hubbard", "tp", 0.0))
         return cls.build(
             lat,
             U=params.get_float("hubbard", "U"),
@@ -158,7 +164,7 @@ class AttractiveHubbard:
             nt=params.get_int("simulation", "nt"),
             dtype=dtype,
             checkerboard=params.get_bool("hubbard", "checkerboard", False),
-            bonds=nn_bonds(geometry),
+            bonds=bonds,
         )
 
     @property

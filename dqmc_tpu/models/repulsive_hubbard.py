@@ -77,8 +77,10 @@ class RepulsiveHubbard:
     @classmethod
     def from_params(cls, params: Parameters, lat: Lattice, *,
                     beta: float | None = None, dtype=jnp.float64):
-        from dqmc_tpu.lattice import nn_bonds
+        from dqmc_tpu.lattice import bonds_with_tp
         geometry = params.get_str("Lattice", "geometry", "square")
+        bonds = bonds_with_tp(geometry,
+                              params.get_float("hubbard", "tp", 0.0))
         return cls.build(
             lat,
             U=params.get_float("hubbard", "U"),
@@ -87,7 +89,7 @@ class RepulsiveHubbard:
             beta=params.get_float("simulation", "beta") if beta is None else beta,
             nt=params.get_int("simulation", "nt"),
             dtype=dtype,
-            bonds=nn_bonds(geometry),
+            bonds=bonds,
         )
 
     @property

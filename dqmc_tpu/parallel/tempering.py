@@ -257,8 +257,10 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     auxs = None
     if df_mode:
         from dqmc_tpu.engine.df_sweep import df_aux_build
-        from dqmc_tpu.lattice import nn_bonds
-        bonds = nn_bonds(params.get_str("Lattice", "geometry", "square"))
+        from dqmc_tpu.lattice import bonds_with_tp
+        bonds = bonds_with_tp(
+            params.get_str("Lattice", "geometry", "square"),
+            params.get_float("hubbard", "tp", 0.0))
         U = params.get_float("hubbard", "U")
         t = params.get_float("hubbard", "t")
         mu = params.get_float("hubbard", "mu")

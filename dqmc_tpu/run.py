@@ -237,14 +237,16 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     df_aux = None
     if df_mode:
         from dqmc_tpu.engine.df_sweep import df_aux_build
-        from dqmc_tpu.lattice import nn_bonds
+        from dqmc_tpu.lattice import bonds_with_tp
         df_aux = df_aux_build(
             lat,
             U=params.get_float("hubbard", "U"),
             t=params.get_float("hubbard", "t"),
             mu=params.get_float("hubbard", "mu"),
             beta=float(model.beta), nt=nt,
-            bonds=nn_bonds(params.get_str("Lattice", "geometry", "square")),
+            bonds=bonds_with_tp(
+                params.get_str("Lattice", "geometry", "square"),
+                params.get_float("hubbard", "tp", 0.0)),
             n_flavor=model.n_flavor)
     # adaptive n_stab + resume: the stack shape depends on n_stab, so the
     # adapted value must be known before states are built

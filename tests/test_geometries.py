@@ -79,6 +79,49 @@ def test_honeycomb_free_fermion():
     _free_fermion_check("honeycomb", 3, 3.0, 12)
 
 
+def test_square_tp_free_fermion():
+    """[hubbard] tp (next-nearest hopping, 4-tuple amplitude bonds): the
+    U=0 chain must hold the exact frustrated-band Green's function, and
+    the config key must flow through from_params."""
+    from dqmc_tpu.config import Parameters
+    from dqmc_tpu.lattice import bonds_with_tp
+
+    L, beta, nt, tp = 4, 3.0, 12, -0.35
+    lat = make_lattice("square", L, L)
+    bonds = bonds_with_tp("square", tp)
+    assert ((1, 1), 0, 0, tp) in bonds
+    model = AttractiveHubbard.build(lat, U=0.0, t=1.0, mu=-0.2, beta=beta,
+                                    nt=nt, dtype=jnp.float64, bonds=bonds)
+    cfg = EngineConfig(nt=nt, n_stab=4)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    K = build_kinetic_matrix(lat, t=1.0, mu=-0.2, bonds=bonds)
+    # every site couples to 4 NN + 4 NNN
+    assert (np.count_nonzero(K) == L * L * 9)
+    w, V = np.linalg.eigh(K)
+    Gex = V @ np.diag(1.0 / (1.0 + np.exp(-beta * w))) @ V.T
+    np.testing.assert_allclose(np.asarray(state.G[0]), Gex, atol=1e-10)
+    state = sweep_pair(model, cfg, state)
+    np.testing.assert_allclose(np.asarray(state.G[0]), Gex, atol=1e-9)
+
+    # from_params wiring: tp key changes expK
+    base = """
+[Lattice]
+L1 = 4
+L2 = 4
+[hubbard]
+U = 0.0
+t = 1.0
+mu = -0.2
+tp = -0.35
+[simulation]
+beta = 3.0
+nt = 12
+"""
+    m2 = AttractiveHubbard.from_params(Parameters.from_string(base), lat)
+    np.testing.assert_allclose(np.asarray(m2.expK), np.asarray(model.expK),
+                               atol=1e-14)
+
+
 def test_honeycomb_driver_end_to_end(tmp_path):
     """Full interacting honeycomb run through the driver: half filling at
     mu=0 (particle-hole symmetric attractive model on a bipartite lattice),
