@@ -10,9 +10,13 @@ scaling across chips and parallel tempering live in ``dqmc_tpu.parallel``.
 
 Config schema (superset of the reference's, SURVEY.md section 5):
   [Lattice]            L1, L2, geometry (square|triangular|honeycomb, default square)
-  [hubbard]            U, t, mu
+  [hubbard]            U, t, mu, model (attractive|repulsive, default
+                       attractive), tp (next-nearest hopping, default 0),
+                       checkerboard (default false)
   [simulation]         beta, nt, n_therms, n_sweeps, n_bins, n_stab,
                        symmetric (default false),
+                       measure_spin (default false: spin-z/x correlation
+                       matrices + spinzzTau when unequal-time is on),
                        isMeasureUnequalTime, seed (default 42),
                        dtype (float32|float64|df32; default float64 on CPU,
                        float32 on TPU — TPU has no native f64.  df32 = the
