@@ -74,7 +74,13 @@ def _resolve_dtype(params: Parameters):
         # arrays silently truncate to f32 and the run is NOT f64
         jax.config.update("jax_enable_x64", True)
         return jnp.float64, False
-    return default_dtype(), False
+    dt = default_dtype()
+    if dt == jnp.float64:
+        # the CPU default IS f64 — it needs the same x64 switch, or every
+        # defaulted CPU run silently truncates to f32 (caught as a ~1e-2
+        # steady-state self-check error on a run that claimed f64)
+        jax.config.update("jax_enable_x64", True)
+    return dt, False
 
 
 def _parse_n_stab(params: Parameters):
