@@ -73,3 +73,36 @@ def test_reference_example_file():
     assert p.get_float("simulation", "beta") == 4.0
     assert p.get_int("simulation", "n_stab") == 10
     assert p.get_bool("simulation", "isMeasureUnequalTime") is False
+
+
+def test_defaulted_f64_enables_x64_subprocess():
+    """Regression: a CPU run with NO [simulation] dtype resolves to f64 and
+    must flip jax_enable_x64 — without it every array silently truncated
+    to f32 (caught as a ~1e-0 self-check error on a run claiming f64).
+    Needs a subprocess: the test session itself pre-enables x64."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dqmc_tpu.config import Parameters
+from dqmc_tpu.run import _resolve_dtype
+params = Parameters.from_string('''
+[simulation]
+beta = 2.0
+''')
+dtype, df = _resolve_dtype(params)
+import jax.numpy as jnp
+assert dtype == jnp.float64 and not df
+assert jax.config.jax_enable_x64, "x64 not enabled for defaulted f64"
+assert jnp.zeros(1).dtype == jnp.float64
+print("X64_OK")
+"""
+    env = dict(os.environ, JAX_ENABLE_X64="0")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0 and "X64_OK" in out.stdout, out.stderr[-1500:]
