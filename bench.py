@@ -158,19 +158,22 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str):
     from dqmc_tpu.measure.manager import MeasurementManager
     from dqmc_tpu.models import AttractiveHubbard
 
-    if dtype_name == "df32":
-        raise NotImplementedError("--measured: float32/float64 only")
+    df_mode = dtype_name == "df32"
     dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     log(f"benchmark device: {jax.devices()[0]} dtype={dtype_name} (measured)")
     lat = square_lattice(L, L)
     model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
                                     nt=NT, dtype=dtype)
-    # same engine choices as tpu_throughput: Pallas site updates for f32,
-    # delayed rank-k for f64 (the rank-1 scan is not a representative path)
+    # same engine choices as tpu_throughput: Pallas site updates for
+    # f32/df32, delayed rank-k for f64 (rank-1 scan is unrepresentative)
     cfg = (EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
            if dtype == jnp.float32
            else EngineConfig(nt=NT, n_stab=NSTAB, delay_rank=32))
-    fused = dtype == jnp.float32 and supports_fused(model, cfg)
+    fused = dtype == jnp.float32 and not df_mode and supports_fused(model, cfg)
+    if df_mode:
+        from dqmc_tpu.engine.df_sweep import (df_aux_build, df_sweep_pair,
+                                              f32_view, init_state_df)
+        aux = df_aux_build(lat, U=U, t=1.0, mu=MU, beta=BETA, nt=NT)
 
     manager = MeasurementManager(lat, n_walkers=n_walkers,
                                  measure_unequal=True, dtype=dtype,
@@ -180,14 +183,25 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str):
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_walkers)
     t0 = time.perf_counter()
-    states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
+    if df_mode:
+        states = jax.jit(jax.vmap(
+            lambda k: init_state_df(model, aux, cfg, k)))(keys)
+    else:
+        states = jax.jit(jax.vmap(lambda k: init_state(model, cfg, k)))(keys)
     jax.block_until_ready(states.G)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
-    sweep = (jax.jit(lambda s: sweep_pair_fused(model, cfg, s)) if fused
-             else jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s))))
-    uneq_step = jax.jit(jax.vmap(
-        lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
+    if df_mode:
+        sweep = jax.jit(jax.vmap(lambda s: df_sweep_pair(model, aux, cfg, s)))
+        # tau-resolved reconstruction on the hi-rounded df stack (run.py)
+        uneq_step = jax.jit(jax.vmap(
+            lambda s: sweep_unequal_time(model, cfg, f32_view(s),
+                                         measure_fn=uneq_fn)))
+    else:
+        sweep = (jax.jit(lambda s: sweep_pair_fused(model, cfg, s)) if fused
+                 else jax.jit(jax.vmap(lambda s: sweep_pair(model, cfg, s))))
+        uneq_step = jax.jit(jax.vmap(
+            lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
 
     def one_iter(states):
         states = sweep(states)
