@@ -125,6 +125,14 @@ class MeasurementManager:
         for name, fn in obs.SPIN_UNEQUAL_TIME_OBSERVABLES.items():
             self.add_unequal_time(name, fn)
 
+    def add_charge(self) -> None:
+        """Register the opt-in dynamic charge set ([simulation]
+        measure_charge = true): the time-displaced connected
+        density-density correlator (beyond-reference)."""
+        from dqmc_tpu.measure import observables as obs
+        for name, fn in obs.CHARGE_UNEQUAL_TIME_OBSERVABLES.items():
+            self.add_unequal_time(name, fn)
+
     # ------------------------------------------------------------------
     # fused measurement kernels
     # ------------------------------------------------------------------

@@ -137,6 +137,27 @@ def spinzz_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
     return 0.25 * (m_tau[:, None] * m_0[None, :] - X)
 
 
+def density_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
+    """Time-displaced connected density correlation
+    <n_i(tau) n_j(0)> - navg(tau) navg(0) — the input to the dynamic
+    charge structure factor (beyond-reference; [simulation]
+    measure_charge).
+
+    Same Wick pattern as spinzz_tau with the cross contraction entering
+    per flavor: <n_is(tau) n_js(0)> = n_is(tau) n_js(0)
+    - G0t_s(j,i) Gt0_s(i,j); cross-flavor terms factorize.  Uses the
+    textbook cross contraction (NOT the reference's equal-time 1-G quirk,
+    cf. density_corr — this observable has no reference counterpart), so
+    its tau = 0 limit equals the textbook form of densityCorr.
+    """
+    n_tau = ((1.0 - jnp.diagonal(Gtt[0]))
+             + (1.0 - jnp.diagonal(Gtt[-1])))            # (ns,)
+    n_0 = (1.0 - jnp.diagonal(G00[0])) + (1.0 - jnp.diagonal(G00[-1]))
+    X = G0t[0].T * Gt0[0] + G0t[-1].T * Gt0[-1]
+    return (n_tau[:, None] * n_0[None, :] - X
+            - jnp.mean(n_tau) * jnp.mean(n_0))
+
+
 def currxx_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
     """x-current correlator <j_x(i,tau) j_x(j,0)> (model.cpp:346-392),
     input to the superfluid stiffness.
@@ -205,6 +226,11 @@ SPIN_OBSERVABLES = {
 # unequal-time measurement is on, like every unequal-time observable)
 SPIN_UNEQUAL_TIME_OBSERVABLES = {
     "spinzzTau": spinzz_tau,
+}
+
+# opt-in dynamic charge set ([simulation] measure_charge = true)
+CHARGE_UNEQUAL_TIME_OBSERVABLES = {
+    "densityTau": density_tau,
 }
 
 UNEQUAL_TIME_OBSERVABLES = {

@@ -323,6 +323,8 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     manager.add_defaults()
     if params.get_bool("simulation", "measure_spin", False):
         manager.add_spin()
+    if params.get_bool("simulation", "measure_charge", False):
+        manager.add_charge()
 
     def save_ckpt():
         if ckpt_every <= 0:

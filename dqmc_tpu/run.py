@@ -17,6 +17,7 @@ Config schema (superset of the reference's, SURVEY.md section 5):
                        symmetric (default false),
                        measure_spin (default false: spin-z/x correlation
                        matrices + spinzzTau when unequal-time is on),
+                       measure_charge (default false: densityTau),
                        isMeasureUnequalTime, seed (default 42),
                        dtype (float32|float64|df32; default float64 on CPU,
                        float32 on TPU — TPU has no native f64.  df32 = the
@@ -306,6 +307,8 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     manager.add_defaults()
     if params.get_bool("simulation", "measure_spin", False):
         manager.add_spin()
+    if params.get_bool("simulation", "measure_charge", False):
+        manager.add_charge()
 
     # runtime observability: reference warns when the naive-vs-stabilized
     # deviation exceeds 1e-6 (dqmc.cpp:390-393).  The threshold applies to

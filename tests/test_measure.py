@@ -258,6 +258,54 @@ def test_spinzz_tau_free_fermion():
         assert abs(np.asarray(ys.Gtt[l, 0] - ys.Gtt[l, -1]).max()) < 1e-12
 
 
+def test_density_tau_reduces_to_textbook_equal_time(rng):
+    """At tau = 0 the time-displaced charge correlator equals the TEXTBOOK
+    densityCorr (delta_ij - G(j,i), not the reference's 1-G quirk)."""
+    lat = square_lattice(4, 4)
+    ctx = make_context(lat)
+    ns = 16
+    G = _fake_G(rng, ns)
+    eye = jnp.eye(ns, dtype=G.dtype)
+    got = np.asarray(obs.density_tau(G, G, G - eye, G, ctx))
+    g = np.asarray(G[0])
+    n = 2 * (1 - np.diag(g))
+    want = np.empty((ns, ns))
+    d = np.eye(ns)
+    for i in range(ns):
+        for j in range(ns):
+            want[i, j] = (n[i] * n[j]
+                          + 2.0 * (d[i, j] - g[j, i]) * g[i, j]
+                          - n.mean() ** 2)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_density_tau_free_fermion():
+    """U=0: <n_i(tau) n_j> from the DQMC triplet matches the analytic Wick
+    expression from the exact free propagators."""
+    lat = square_lattice(4, 4)
+    ctx = make_context(lat)
+    beta, nt, ns = 4.0, 16, 16
+    model = AttractiveHubbard.build(lat, U=0.0, t=1.0, mu=-0.1, beta=beta,
+                                    nt=nt)
+    cfg = EngineConfig(nt=nt, n_stab=4)
+    K = build_kinetic_matrix(lat, t=1.0, mu=-0.1)
+
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
+    state = sweep_pair(model, cfg, state)
+    ys, err = sweep_unequal_time(model, cfg, state)
+    dtau = beta / nt
+    gtt = golden.free_fermion_gtt(K, beta)
+    n_vec = 2 * (1 - np.diag(gtt))
+    for l in (4, 10):
+        got = np.asarray(obs.density_tau(ys.Gtt[l], ys.Gt0[l], ys.G0t[l],
+                                         ys.Gtt[0], ctx))
+        gt0 = golden.free_fermion_gt0(K, beta, l * dtau)
+        g0t = np.asarray(ys.G0t[l, 0])
+        want = (n_vec[:, None] * n_vec[None, :] - 2.0 * g0t.T * gt0
+                - n_vec.mean() ** 2)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 def test_unequal_time_free_fermion():
     """U=0: Gt0(tau) must match the analytic free propagator at every tau."""
     lat = square_lattice(4, 4)
