@@ -137,6 +137,20 @@ def spinzz_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
     return 0.25 * (m_tau[:, None] * m_0[None, :] - X)
 
 
+def spinxx_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
+    """Time-displaced transverse spin correlation <S^x_i(tau) S^x_j(0)>
+    = 1/4 [<S+_i(tau) S-_j> + <S-_i(tau) S+_j>] (beyond-reference;
+    [simulation] measure_spin).
+
+    Cross-flavor Wick: <c+_iu(tau) c_ju> <c_id(tau) c+_jd>
+    = (-G0t_u(j,i)) Gt0_d(i,j), so
+        spinxx(tau; i,j) = -1/4 [ G0t_u(j,i) Gt0_d(i,j)
+                                  + G0t_d(j,i) Gt0_u(i,j) ].
+    At tau = 0 this reduces exactly to spin_xx_corr (pinned in tests).
+    """
+    return -0.25 * (G0t[0].T * Gt0[-1] + G0t[-1].T * Gt0[0])
+
+
 def density_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
     """Time-displaced connected density correlation
     <n_i(tau) n_j(0)> - navg(tau) navg(0) — the input to the dynamic
@@ -226,6 +240,7 @@ SPIN_OBSERVABLES = {
 # unequal-time measurement is on, like every unequal-time observable)
 SPIN_UNEQUAL_TIME_OBSERVABLES = {
     "spinzzTau": spinzz_tau,
+    "spinxxTau": spinxx_tau,
 }
 
 # opt-in dynamic charge set ([simulation] measure_charge = true)

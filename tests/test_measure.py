@@ -412,3 +412,20 @@ def test_iter_unequal_time_chunks_match_full():
     for f in ("Gtt", "Gt0", "G0t"):
         assert got[f].shape[0] == nt + 1
         np.testing.assert_array_equal(got[f], np.asarray(getattr(full, f)))
+
+
+def test_spinxx_tau_reduces_to_equal_time(rng):
+    """At tau = 0 the transverse time-displaced correlator equals
+    spin_xx_corr exactly, for both flavor layouts; for spin-symmetric G
+    it also equals the spinzz exchange (SU(2) without the m-product)."""
+    lat = square_lattice(4, 4)
+    ctx = make_context(lat)
+    ns = 16
+    for nfl in (1, 2):
+        G = jnp.asarray(np.random.default_rng(nfl).standard_normal(
+            (nfl, ns, ns)) * 0.2 + 0.5 * np.eye(ns))
+        eye = jnp.eye(ns, dtype=G.dtype)
+        got = obs.spinxx_tau(G, G, G - eye, G, ctx)
+        want = obs.spin_xx_corr(G, ctx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-12)
