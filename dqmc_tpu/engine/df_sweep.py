@@ -184,6 +184,14 @@ def identity_stack_df(nfl: int, n_slots: int, ns: int) -> LDRdf:
     return LDRdf(DF(eye, z_m), DF(ones, z_v), DF(eye, z_m))
 
 
+def identity_slot_df(nfl: int, ns: int) -> LDRdf:
+    """One identity df LDR factor (the prefix/suffix chain seed)."""
+    eye = jnp.tile(jnp.eye(ns, dtype=jnp.float32), (nfl, 1, 1))
+    ones = jnp.ones((nfl, ns), jnp.float32)
+    return LDRdf(DF(eye, jnp.zeros_like(eye)), DF(ones, jnp.zeros_like(ones)),
+                 DF(eye, jnp.zeros_like(eye)))
+
+
 def _eye_df(nfl: int, ns: int) -> DF:
     eye = jnp.tile(jnp.eye(ns, dtype=jnp.float32), (nfl, 1, 1))
     return DF(eye, jnp.zeros_like(eye))
@@ -228,30 +236,34 @@ def rebuild_stack_df(aux: DFModelAux, cfg: EngineConfig, fields: jax.Array):
     """Full right-to-left df stack + G_df(0,0) + log_det from the fields."""
     nfl = aux.expv.hi.shape[0]
     ns = aux.expK.hi.shape[-1]
-    stack = identity_stack_df(nfl, cfg.n_slots, ns)
     eyeB = _eye_df(nfl, ns)
 
-    # block-structured (see engine/sweep.py): no per-slice cond carrying
-    # the (large) df stack
+    # block-structured (see engine/sweep.py): the scan carries only the
+    # previous suffix factor and emits each block's new df LDR
+    # (sweep.stack_from_slots — no stack-sized carry copies)
     n_stab = cfg.n_stab
     n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
-    def run_block(stack, i_stack, n_slices, l0):
+    def run_block(T_prev, n_slices, l0):
         Bbar = eyeB
         for k in range(n_slices):
             l = l0 + n_slices - 1 - k
             B = _slice_B_df(aux, jnp.take(fields, l, axis=0))
             Bbar = df32.matmul(Bbar, B)      # right-to-left: Bbar @ B_l
-        T = _mat_mul_ldr_df(_transpose_df(Bbar),
-                            slot_get_df(stack, i_stack + 2))
-        return slot_set_df(stack, i_stack + 1, T)
+        return _mat_mul_ldr_df(_transpose_df(Bbar), T_prev)
 
-    if rem:
-        stack = run_block(stack, jnp.int32(n_full), rem, n_full * n_stab)
-    stack, _ = jax.lax.scan(
-        lambda s, i: (run_block(s, i, n_stab, i * n_stab), None),
-        stack, jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
-    G_df, log_det = _inv_pair_df(slot_get_df(stack, 0), slot_get_df(stack, 1))
+    def scan_step(t, i):
+        T_new = run_block(t, n_stab, i * n_stab)
+        return T_new, T_new
+
+    from dqmc_tpu.engine.sweep import stack_from_slots
+    T0 = identity_slot_df(nfl, ns)
+    tail = run_block(T0, rem, n_full * n_stab) if rem else None
+    T, slots = jax.lax.scan(scan_step, tail if rem else T0,
+                            jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
+    stack = stack_from_slots(slots, identity_slot_df(nfl, ns), tail,
+                             reverse=True)
+    G_df, log_det = _inv_pair_df(identity_slot_df(nfl, ns), T)
     return stack, G_df, log_det
 
 
@@ -285,18 +297,18 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
     nfl, ns = model32.n_flavor, model32.n_sites
     eyeB = _eye_df(nfl, ns)
 
-    def stabilize(stack, Bbar, i_stack):
+    def stabilize(F_prev, Bbar, i_stack):
+        # chain factor carried; the opposite half-chain is read from the
+        # NON-CARRIED input stack (see engine/sweep.py stack_from_slots)
         if forward:
-            F_new = _mat_mul_ldr_df(Bbar, slot_get_df(stack, i_stack))
-            stack = slot_set_df(stack, i_stack + 1, F_new)
-            G_df, log_det = _inv_pair_df(F_new,
-                                         slot_get_df(stack, i_stack + 2))
+            F_new = _mat_mul_ldr_df(Bbar, F_prev)
+            G_df, log_det = _inv_pair_df(
+                F_new, slot_get_df(state.stack, i_stack + 2))
         else:
-            T_new = _mat_mul_ldr_df(_transpose_df(Bbar),
-                                    slot_get_df(stack, i_stack + 2))
-            stack = slot_set_df(stack, i_stack + 1, T_new)
-            G_df, log_det = _inv_pair_df(slot_get_df(stack, i_stack), T_new)
-        return G_df, stack, log_det
+            F_new = _mat_mul_ldr_df(_transpose_df(Bbar), F_prev)
+            G_df, log_det = _inv_pair_df(slot_get_df(state.stack, i_stack),
+                                         F_new)
+        return G_df, F_new, log_det
 
     def slice_step(carry, l):
         (fields, G, Bbar, key, acc, sign) = carry
@@ -350,40 +362,47 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
     n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
     def run_block(carry, i_stack, n_slices, l0):
-        (fields, G, G_df, stack, log_det_M, key, acc, sign, emax, esum,
+        (fields, G, G_df, F_prev, log_det_M, key, acc, sign, emax, esum,
          ecnt) = carry
         c6 = (fields, G, eyeB, key, acc, sign)
         for k in range(n_slices):
             l = l0 + (k if forward else n_slices - 1 - k)
             c6 = slice_step(c6, l)
         fields, G, Bbar, key, acc, sign = c6
-        G_df, stack, log_det_M = stabilize(stack, Bbar, i_stack)
+        G_df, F_new, log_det_M = stabilize(F_prev, Bbar, i_stack)
         err = jnp.max(jnp.abs(G - G_df.hi))
         emax = jnp.maximum(emax, err)
         esum = esum + err
         ecnt = ecnt + jnp.ones((), jnp.float32)
-        return (fields, G_df.hi, G_df, stack, log_det_M, key, acc, sign,
+        return (fields, G_df.hi, G_df, F_new, log_det_M, key, acc, sign,
                 emax, esum, ecnt)
 
     def block_step(carry, i_stack):
-        return run_block(carry, i_stack, n_stab, i_stack * n_stab), None
+        carry = run_block(carry, i_stack, n_stab, i_stack * n_stab)
+        return carry, carry[3]
 
     def tail_block(carry):
         return run_block(carry, jnp.int32(n_full), rem, n_full * n_stab)
 
-    carry = (state.fields, state.G, state.G_df, state.stack,
+    from dqmc_tpu.engine.sweep import stack_from_slots
+    carry = (state.fields, state.G, state.G_df, identity_slot_df(nfl, ns),
              state.log_det_M, state.key, state.acc_sum, state.sign,
              state.err_max, state.err_sum, state.err_count)
     i_stacks = jnp.arange(n_full, dtype=jnp.int32)
+    tail = None
     if forward:
-        carry, _ = jax.lax.scan(block_step, carry, i_stacks)
+        carry, slots = jax.lax.scan(block_step, carry, i_stacks)
         if rem:
             carry = tail_block(carry)
+            tail = carry[3]
     else:
         if rem:
             carry = tail_block(carry)
-        carry, _ = jax.lax.scan(block_step, carry, i_stacks[::-1])
-    (fields, G, G_df, stack, log_det_M, key, acc, sign, emax, esum,
+            tail = carry[3]
+        carry, slots = jax.lax.scan(block_step, carry, i_stacks[::-1])
+    stack = stack_from_slots(slots, identity_slot_df(nfl, ns), tail,
+                             reverse=not forward)
+    (fields, G, G_df, _, log_det_M, key, acc, sign, emax, esum,
      ecnt) = carry
     return dataclasses.replace(
         state, fields=fields, G=G, G_df=G_df, stack=stack,

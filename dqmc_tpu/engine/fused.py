@@ -60,8 +60,9 @@ from dqmc_tpu.engine.sweep import (
     _inv_pair_f,
     _mat_mul_ldr_f,
     draw_slice_randoms,
+    identity_slot,
     slot_get,
-    slot_set,
+    stack_from_slots,
 )
 
 
@@ -458,11 +459,11 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
     us = us[:, :n_full * n_stab].reshape(W, n_full, n_stab, ns)
 
     stabilize_f = jax.vmap(
-        lambda G, stack, bbar, i: _stabilize_one(G, stack, bbar, i, forward),
-        in_axes=(0, 0, 0, None))
+        lambda G, F_prev, other, bbar: _stabilize_one(G, F_prev, other,
+                                                      bbar, forward))
 
     def run_block(carry, i_stack, order_b, props_b, us_b, n_slices, l0):
-        fields, G, stack, log_det, acc, emax, esum, ecnt = carry
+        fields, G, F_prev, log_det, acc, emax, esum, ecnt = carry
         fields_blk = jax.lax.dynamic_slice_in_dim(fields, l0, n_slices,
                                                   axis=1)
         G, fields_blk, bbar, acc_b = fused_block(
@@ -471,17 +472,23 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
             precision=cfg.wrap_precision)
         fields = jax.lax.dynamic_update_slice_in_dim(fields, fields_blk, l0,
                                                      axis=1)
-        G_new, stack, log_det_new, err = stabilize_f(G, stack, bbar, i_stack)
+        # the opposite half-chain, read per block from the NON-CARRIED input
+        # stack (the sweep never writes slots it reads — see sweep.py)
+        other = jax.vmap(
+            lambda st: slot_get(st, i_stack + (2 if forward else 0))
+        )(states.stack)
+        G_new, F_new, log_det_new, err = stabilize_f(G, F_prev, other, bbar)
         acc = acc + acc_b * (n_slices / cfg.nt)
         emax = jnp.maximum(emax, err)
         esum = esum + err
         ecnt = ecnt + jnp.ones_like(ecnt)
-        return (fields, G_new, stack, log_det_new, acc, emax, esum, ecnt)
+        return (fields, G_new, F_new, log_det_new, acc, emax, esum, ecnt)
 
     def block_step(carry, xs):
         i_stack, order_b, props_b, us_b = xs
-        return run_block(carry, i_stack, order_b, props_b, us_b,
-                         n_stab, i_stack * n_stab), None
+        carry = run_block(carry, i_stack, order_b, props_b, us_b,
+                          n_stab, i_stack * n_stab)
+        return carry, carry[2]
 
     def tail_block(carry):
         # the short last block runs as a separately-compiled kernel call
@@ -498,34 +505,41 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
     xs = (i_stacks, orders, jnp.moveaxis(props, 0, 1),
           jnp.moveaxis(us, 0, 1))
 
-    carry = (states.fields, states.G, states.stack, states.log_det_M,
+    id_w = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x, (W,) + (1,) * x.ndim),
+        identity_slot(nfl, ns, dtype))
+    carry = (states.fields, states.G, id_w, states.log_det_M,
              states.acc_sum, states.err_max, states.err_sum,
              states.err_count)
+    tail_slot = None
     if rem and not forward:
         carry = tail_block(carry)
-    carry, _ = jax.lax.scan(block_step, carry, xs)
+        tail_slot = carry[2]
+    carry, slots = jax.lax.scan(block_step, carry, xs)
     if rem and forward:
         carry = tail_block(carry)
-    (fields, G, stack, log_det, acc, emax, esum, ecnt) = carry
+        tail_slot = carry[2]
+    stack = stack_from_slots(slots, id_w, tail_slot, reverse=not forward,
+                             axis=2)
+    (fields, G, _, log_det, acc, emax, esum, ecnt) = carry
     return dataclasses.replace(
         states, fields=fields, G=G, stack=stack, log_det_M=log_det,
         key=new_key, acc_sum=acc, err_max=emax, err_sum=esum, err_count=ecnt)
 
 
-def _stabilize_one(G, stack, Bbar, i_stack, forward):
+def _stabilize_one(G, F_prev, other, Bbar, forward):
     """Per-walker stabilization at a block boundary (same math as
-    engine.sweep.sweep's stabilize)."""
+    engine.sweep.sweep's stabilize): extend the carried chain factor F_prev
+    with the block product; ``other`` is the opposite half-chain's slot read
+    from the input stack (suffix slot i+2 forward, prefix slot i backward)."""
     if forward:
-        F_new = _mat_mul_ldr_f(Bbar, slot_get(stack, i_stack))
-        stack = slot_set(stack, i_stack + 1, F_new)
-        G_new, log_det = _inv_pair_f(F_new, slot_get(stack, i_stack + 2))
+        F_new = _mat_mul_ldr_f(Bbar, F_prev)
+        G_new, log_det = _inv_pair_f(F_new, other)
     else:
-        T_new = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
-                               slot_get(stack, i_stack + 2))
-        stack = slot_set(stack, i_stack + 1, T_new)
-        G_new, log_det = _inv_pair_f(slot_get(stack, i_stack), T_new)
+        F_new = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2), F_prev)
+        G_new, log_det = _inv_pair_f(other, F_new)
     err = jnp.max(jnp.abs(G - G_new))
-    return G_new, stack, log_det, err
+    return G_new, F_new, log_det, err
 
 
 def sweep_pair_fused(model, cfg: EngineConfig, states: WalkerState,

@@ -99,6 +99,54 @@ def identity_stack(nfl: int, n_slots: int, ns: int, dtype) -> LDR:
     return LDR(L, d, L)
 
 
+def identity_slot(nfl: int, ns: int, dtype) -> LDR:
+    """One identity LDR factor with a leading (nfl,) axis — the seed of the
+    prefix/suffix chains (= stack slots 0 / n_slots-1)."""
+    eye = jnp.tile(jnp.eye(ns, dtype=dtype), (nfl, 1, 1))
+    return LDR(eye, jnp.ones((nfl, ns), dtype=dtype), eye)
+
+
+def stack_from_slots(slots, id_slot, tail=None, *, reverse: bool = False,
+                     axis: int = 1):
+    """Assemble the identity-padded stack from per-block LDR factors stacked
+    on a LEADING scan axis (in block-processing order).
+
+    Sweeps and rebuilds no longer carry the O(n_slots * ns^2) stack through
+    their block scans: each block reads the opposite half-chain from the
+    (non-carried) input stack, carries only the single previous factor of
+    its own chain, and emits the new factor as a scan output.  XLA was
+    copying several stack-sized buffers per block iteration for the carried
+    dynamic-update-slice pattern (~190 ms/pair of pure copies on the df32
+    engine at the headline workload, traced); the assembled concatenate
+    below costs one stack-sized copy per sweep.
+
+    Works on any LDR-like pytree (LDR, df_linalg.LDRdf) — id_slot must be
+    one identity factor with the same leaves as a slot (it becomes the
+    padding at both ends).
+
+    tail: the extra slot of the short last block when nt % n_stab != 0.
+    reverse: True for backward sweeps / rebuilds, whose blocks are processed
+    n_stack-1..0 (write order slot n_stack..1).
+    axis: position of the slot axis in the assembled stack (1 for (nfl, ...)
+    leaves, 2 for walker-batched (W, nfl, ...) leaves).
+    """
+    def one(x, idv, t=None):
+        if t is not None:
+            # the ragged tail block runs last on forward sweeps, first on
+            # backward ones; splice it into processing order before the flip
+            x = (jnp.concatenate([t[None], x], axis=0) if reverse
+                 else jnp.concatenate([x, t[None]], axis=0))
+        if reverse:
+            x = jnp.flip(x, 0)
+        x = jnp.moveaxis(x, 0, axis)
+        pad = jnp.expand_dims(idv, axis)
+        return jnp.concatenate([pad, x, pad], axis=axis)
+
+    if tail is None:
+        return jax.tree_util.tree_map(one, slots, id_slot)
+    return jax.tree_util.tree_map(one, slots, id_slot, tail)
+
+
 # ----------------------------------------------------------------------
 # local Metropolis updates over one time slice (update.cpp:5-32)
 # ----------------------------------------------------------------------
@@ -264,29 +312,32 @@ def rebuild_stack_and_greens(model, cfg: EngineConfig, fields: jax.Array):
     """
     nfl, ns = model.n_flavor, model.n_sites
     dtype = model.dtype
-    stack = identity_stack(nfl, cfg.n_slots, ns, dtype)
     eyeB = jnp.tile(jnp.eye(ns, dtype=dtype), (nfl, 1, 1))
 
-    # block-structured (see sweep): slices of one stack inlined, fold at
-    # the block end unconditionally — no per-slice cond carrying the stack
+    # block-structured (see sweep): slices of one stack inlined, fold at the
+    # block end unconditionally.  The scan carries only the previous suffix
+    # factor and emits each block's new LDR (see stack_from_slots).
     n_stab = cfg.n_stab
     n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
-    def run_block(stack, i_stack, n_slices, l0):
+    def run_block(T_prev, n_slices, l0):
         Bbar = eyeB
         for k in range(n_slices):
             l = l0 + n_slices - 1 - k
             Bbar = apply_B_right(model, jnp.take(fields, l, axis=0), Bbar)
-        T = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
-                           slot_get(stack, i_stack + 2))
-        return slot_set(stack, i_stack + 1, T)
+        return _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2), T_prev)
 
-    if rem:
-        stack = run_block(stack, jnp.int32(n_full), rem, n_full * n_stab)
-    stack, _ = jax.lax.scan(
-        lambda s, i: (run_block(s, i, n_stab, i * n_stab), None),
-        stack, jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
-    G, log_det_M = _inv_pair_f(slot_get(stack, 0), slot_get(stack, 1))
+    def scan_step(t, i):
+        T_new = run_block(t, n_stab, i * n_stab)
+        return T_new, T_new
+
+    T0 = identity_slot(nfl, ns, dtype)
+    tail = run_block(T0, rem, n_full * n_stab) if rem else None
+    T, slots = jax.lax.scan(scan_step, tail if rem else T0,
+                            jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
+    stack = stack_from_slots(slots, identity_slot(nfl, ns, dtype), tail,
+                              reverse=True)
+    G, log_det_M = _inv_pair_f(identity_slot(nfl, ns, dtype), T)
     return stack, G, log_det_M
 
 
@@ -322,25 +373,28 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
     dtype = model.dtype
     eyeB = jnp.tile(jnp.eye(ns, dtype=dtype), (nfl, 1, 1))
 
-    def stabilize(G, stack, Bbar, i_stack):
+    def stabilize(G, F_prev, Bbar, i_stack):
+        # The block scan carries only the previous factor of the chain it
+        # BUILDS (F_prev); the opposite half-chain is read per block from
+        # the non-carried input stack — the sweep never writes slots it
+        # reads, so reading state.stack is exact (see stack_from_slots).
         if forward:
             # prefix chain (normal form): slot[i+1] = Bbar * slot[i];
             # G(tau,tau) = [I + B(tau,0) B(beta,tau)]^{-1} with the suffix
             # read from slot[i+2] in TRANSPOSE form (left by the previous
             # backward pass / init).
-            F_new = _mat_mul_ldr_f(Bbar, slot_get(stack, i_stack))
-            stack = slot_set(stack, i_stack + 1, F_new)
-            G_new, log_det = _inv_pair_f(F_new, slot_get(stack, i_stack + 2))
+            F_new = _mat_mul_ldr_f(Bbar, F_prev)
+            G_new, log_det = _inv_pair_f(
+                F_new, slot_get(state.stack, i_stack + 2))
         else:
             # suffix chain (transpose form): slot[i+1]_matrix =
             # Bbar^T @ slot[i+2]_matrix = B(beta,tau)^T; prefix read from
             # slot[i] in normal form (left by the previous forward pass).
-            T_new = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2),
-                                   slot_get(stack, i_stack + 2))
-            stack = slot_set(stack, i_stack + 1, T_new)
-            G_new, log_det = _inv_pair_f(slot_get(stack, i_stack), T_new)
+            F_new = _mat_mul_ldr_f(jnp.swapaxes(Bbar, -1, -2), F_prev)
+            G_new, log_det = _inv_pair_f(slot_get(state.stack, i_stack),
+                                         F_new)
         err = jnp.max(jnp.abs(G - G_new))
-        return G_new, stack, log_det, err
+        return G_new, F_new, log_det, err
 
     def slice_step(carry, l):
         (fields, G, Bbar, key, acc, sign) = carry
@@ -403,39 +457,45 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
     n_full, rem = cfg.nt // n_stab, cfg.nt % n_stab
 
     def run_block(carry, i_stack, n_slices, l0):
-        (fields, G, stack, log_det_M, key, acc, sign, emax, esum,
+        (fields, G, F_prev, log_det_M, key, acc, sign, emax, esum,
          ecnt) = carry
         c6 = (fields, G, eyeB, key, acc, sign)
         for k in range(n_slices):
             l = l0 + (k if forward else n_slices - 1 - k)
             c6 = slice_step(c6, l)
         fields, G, Bbar, key, acc, sign = c6
-        G, stack, log_det_M, err = stabilize(G, stack, Bbar, i_stack)
+        G, F_new, log_det_M, err = stabilize(G, F_prev, Bbar, i_stack)
         emax = jnp.maximum(emax, err)
         esum = esum + err
         ecnt = ecnt + jnp.ones((), dtype)
-        return (fields, G, stack, log_det_M, key, acc, sign, emax, esum,
+        return (fields, G, F_new, log_det_M, key, acc, sign, emax, esum,
                 ecnt)
 
     def block_step(carry, i_stack):
-        return run_block(carry, i_stack, n_stab, i_stack * n_stab), None
+        carry = run_block(carry, i_stack, n_stab, i_stack * n_stab)
+        return carry, carry[2]
 
     def tail_block(carry):
         return run_block(carry, jnp.int32(n_full), rem, n_full * n_stab)
 
-    carry = (state.fields, state.G, state.stack, state.log_det_M,
-             state.key, state.acc_sum, state.sign, state.err_max,
-             state.err_sum, state.err_count)
+    carry = (state.fields, state.G, identity_slot(nfl, ns, dtype),
+             state.log_det_M, state.key, state.acc_sum, state.sign,
+             state.err_max, state.err_sum, state.err_count)
     i_stacks = jnp.arange(n_full, dtype=jnp.int32)
+    tail = None
     if forward:
-        carry, _ = jax.lax.scan(block_step, carry, i_stacks)
+        carry, slots = jax.lax.scan(block_step, carry, i_stacks)
         if rem:
             carry = tail_block(carry)
+            tail = carry[2]
     else:
         if rem:
             carry = tail_block(carry)
-        carry, _ = jax.lax.scan(block_step, carry, i_stacks[::-1])
-    (fields, G, stack, log_det_M, key, acc, sign, emax, esum, ecnt) = carry
+            tail = carry[2]
+        carry, slots = jax.lax.scan(block_step, carry, i_stacks[::-1])
+    stack = stack_from_slots(slots, identity_slot(nfl, ns, dtype), tail,
+                              reverse=not forward)
+    (fields, G, _, log_det_M, key, acc, sign, emax, esum, ecnt) = carry
     return dataclasses.replace(
         state, fields=fields, G=G, stack=stack, log_det_M=log_det_M, key=key,
         acc_sum=acc, sign=sign, err_max=emax, err_sum=esum, err_count=ecnt)

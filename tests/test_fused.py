@@ -14,8 +14,9 @@ import numpy as np
 from dqmc_tpu.engine import EngineConfig, init_state
 from dqmc_tpu.engine.fused import (fused_block, supports_fused, sweep_fused,
                                    sweep_pair_fused)
-from dqmc_tpu.engine.sweep import (draw_slice_randoms, local_update_core,
-                                   sweep)
+from dqmc_tpu.engine.sweep import (draw_slice_randoms, identity_slot,
+                                   identity_stack, local_update_core,
+                                   slot_get, slot_set, sweep)
 from dqmc_tpu.lattice import square_lattice
 from dqmc_tpu.models import AttractiveHubbard
 from dqmc_tpu.models.kinetic import (apply_B_left, apply_B_right,
@@ -137,8 +138,14 @@ def _sweep_fused_oracle(model, cfg, states, forward):
     us = jax.vmap(jax.vmap(
         lambda k: draw_slice_randoms(k, ns, dtype)[2]))(slice_keys)
 
-    fields, G, stack = states.fields, states.G, states.stack
+    fields, G = states.fields, states.G
     log_det, acc = states.log_det_M, states.acc_sum
+    # chain factor carried across blocks, opposite half-chain read from the
+    # input stack, new slots collected — mirrors sweep_fused's streaming
+    # stack (engine/sweep.py stack_from_slots)
+    F_prev = jax.vmap(lambda _: identity_slot(model.n_flavor, ns, dtype))(
+        jnp.arange(W))
+    new_slots = {}
     blocks = range(n_stack) if forward else range(n_stack - 1, -1, -1)
     for i_stack in blocks:
         l0 = i_stack * n_stab
@@ -148,10 +155,19 @@ def _sweep_fused_oracle(model, cfg, states, forward):
             model, orders[l0:l0 + n_stab],
             props[:, l0:l0 + n_stab], us[:, l0:l0 + n_stab], G, fb, forward)
         fields = fields.at[:, l0:l0 + n_stab].set(fb)
-        G, stack, log_det, err = jax.vmap(
-            lambda g, s, b: _stabilize_one(g, s, b, i_stack, forward))(
-                G, stack, bbar)
+        other = jax.vmap(lambda st: slot_get(
+            st, i_stack + (2 if forward else 0)))(states.stack)
+        G, F_prev, log_det, err = jax.vmap(
+            lambda g, f, o, b: _stabilize_one(g, f, o, b, forward))(
+                G, F_prev, other, bbar)
+        new_slots[i_stack + 1] = F_prev
         acc = acc + acc_b * (n_blk / cfg.nt)
+    # assemble: identity padding + the written slots (1..n_stack all written)
+    stack = jax.vmap(
+        lambda _: identity_stack(model.n_flavor, cfg.n_slots, ns, dtype))(
+        jnp.arange(W))
+    for slot, F in new_slots.items():
+        stack = jax.vmap(lambda st, f: slot_set(st, slot, f))(stack, F)
     return dataclasses.replace(states, fields=fields, G=G, stack=stack,
                                log_det_M=log_det, key=new_key, acc_sum=acc)
 
