@@ -361,14 +361,19 @@ def main():
         print(json.dumps({
             "metric": f"full sweeps/sec/chip ({L}x{L} beta={BETA} U={U} "
                       f"Hubbard, nt={NT}, {args.dtype}, {walkers} walkers)",
-            "value": 0.0,
+            # explicit not-measured markers (a value of 0.0 with rc 0 reads
+            # as a measured zero to tooling): ok=false + skipped=true, value
+            # null — consumers must not chart this as a data point
+            "value": None,
+            "ok": False,
+            "skipped": True,
             "unit": "sweeps/s/chip",
             "vs_baseline": None,
             "error": "jax backend unavailable (device init probe timed "
                      "out or crashed); see BENCHMARKS.md for last "
                      "recorded numbers",
         }))
-        return
+        sys.exit(3)
 
     # parity-grade companion number: same workload on the df32 hybrid
     # engine (~1e-8 fixed-field accuracy at beta=8, tests/test_df_linalg;
