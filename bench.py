@@ -203,29 +203,37 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str):
         uneq_step = jax.jit(jax.vmap(
             lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
 
-    def one_iter(states):
-        states = sweep(states)
-        ys, err_u = uneq_step(states)
-        manager.measure_unequal_result(ys)
-        manager.measure_equal(states.G)
-        return states, err_u
+    # the production measured unit (run.py bin loop): sweep pair + uneq
+    # sweep + measurements + accumulator adds, all inside ONE jitted scan
+    iter_fn, zero_acc = manager.make_measured_iter(sweep, uneq_step)
+    inner = 2
+
+    @jax.jit
+    def chunk(states, acc):
+        def body(c, _):
+            return iter_fn(*c), None
+        (states, acc), _ = jax.lax.scan(body, (states, acc), None,
+                                        length=inner)
+        return states, acc
 
     t0 = time.perf_counter()
-    states, err_u = one_iter(states)
-    jax.block_until_ready(err_u)
-    log(f"measured-iter compile+first: {time.perf_counter() - t0:.1f}s")
+    acc_m = zero_acc(states)
+    states, acc_m = chunk(states, acc_m)
+    jax.block_until_ready(states.G)
+    log(f"measured-chunk compile+first: {time.perf_counter() - t0:.1f}s")
     states = jax.jit(jax.vmap(reset_error_stats))(states)
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        states, err_u = one_iter(states)
-    jax.block_until_ready(err_u)
+        states, acc_m = chunk(states, acc_m)
+    jax.block_until_ready(states.G)
     dt = time.perf_counter() - t0
-    rate = n_walkers * reps / dt
-    n_iters = reps + 1
+    n_total = inner * reps
+    rate = n_walkers * n_total / dt
+    n_iters = inner * (reps + 1)
     acc = float(states.acc_sum.mean()) / (2 * n_iters)
-    err = float(jnp.max(err_u))
-    log(f"TPU {dtype_name}: {n_walkers * reps} measured walker-iters in "
+    err = float(acc_m[("meta", "err_uneq_max")])
+    log(f"TPU {dtype_name}: {n_walkers * n_total} measured walker-iters in "
         f"{dt:.2f}s -> {rate:.2f} measured sweeps/s/chip")
     log(f"acc={acc:.3f} uneq err_max={err:.2e}")
     return rate, err, acc

@@ -155,7 +155,8 @@ class MeasurementManager:
                 out[("eq", name)] = red * sign
             return out
 
-        self._measure_eq_jit = jax.jit(jax.vmap(measure_one))
+        self._measure_eq_vmapped = jax.vmap(measure_one)
+        self._measure_eq_jit = jax.jit(self._measure_eq_vmapped)
 
     @property
     def uneq_measure_fn(self) -> Optional[Callable]:
@@ -177,6 +178,95 @@ class MeasurementManager:
 
             self._uneq_measure_fn = emit
         return self._uneq_measure_fn
+
+    # ------------------------------------------------------------------
+    # fully-fused measured iteration (sweep + uneq + measure + accumulate
+    # as ONE jittable program — the per-sweep host round-trips of a
+    # dispatch-per-observable loop cost ~hundreds of ms/sweep through the
+    # TPU tunnel; see run.py's bin loop)
+    # ------------------------------------------------------------------
+
+    def make_measured_iter(self, sweep_fn, uneq_step=None, *, warp_fn=None,
+                           signed: bool = False):
+        """Build the pure measured-iteration function.
+
+        Returns ``(iter_fn, zero_acc)``:
+
+        - ``iter_fn(states, acc) -> (states, acc)`` runs one full measured
+          iteration — the equal-time sweep pair (``sweep_fn``), the
+          unequal-time sweep with fused per-tau reductions (``uneq_step``,
+          returning ``(ys, err_max)``), the equal-time measurement, and the
+          on-device accumulator adds (the reference's measure() call,
+          measurementh5.h:189-227, fused with the sweeps of
+          main.cpp:156-165).
+        - ``zero_acc(states) -> acc`` builds the zeroed accumulator pytree
+          (dict keyed ``(kind, name)`` with kinds scalar/eq/uneq plus
+          ``("meta", "err_uneq_max")``).
+
+        Everything is jit/scan-safe; run.py scans a whole bin of iterations
+        inside one jitted program and pulls the accumulators to host once
+        per bin (``ingest_bin``).
+        """
+        if self._measure_eq_jit is None:
+            self._build_eq()
+        eq_measure = self._measure_eq_vmapped
+
+        def increments(states):
+            out = {}
+            if uneq_step is not None and self._uneq_fns:
+                ys, err_u = uneq_step(states)
+                if signed:
+                    s = states.sign.reshape((-1,) + (1,) * 4)
+                    ys = {k: v * s for k, v in ys.items()}
+                for name, v in ys.items():
+                    out[("uneq", name)] = v
+                out[("meta", "err_uneq_max")] = jnp.max(err_u)
+            G = warp_fn(states.G) if warp_fn is not None else states.G
+            signs = (states.sign if signed
+                     else jnp.ones((G.shape[0],), G.dtype))
+            for key, v in eq_measure(G, signs).items():
+                if key == ("scalar", "sign") and not signed:
+                    continue  # reference-identical output for sign-free runs
+                out[key] = v
+            return out
+
+        def iter_fn(states, acc):
+            states = sweep_fn(states)
+            inc = increments(states)
+            new_acc = {}
+            for key, v in acc.items():
+                if key == ("meta", "err_uneq_max"):
+                    new_acc[key] = jnp.maximum(v, inc[key])
+                else:
+                    new_acc[key] = v + inc[key]
+            return states, new_acc
+
+        def zero_acc(states):
+            shapes = jax.eval_shape(increments, states)
+            return {k: jnp.zeros(s.shape, s.dtype)
+                    for k, s in shapes.items()}
+
+        return iter_fn, zero_acc
+
+    def ingest_bin(self, acc, count: int) -> float:
+        """Write one bin from a fused accumulator pytree (make_measured_iter)
+        and reset.  ``count`` is the number of iterations accumulated.
+        Returns the bin's max unequal-time stabilization error (0.0 when
+        unequal-time measurement is off)."""
+        err_u = 0.0
+        for (kind, name), v in acc.items():
+            if kind == "meta":
+                err_u = float(v)
+            elif kind == "scalar":
+                self._acc_scalar[name] = v
+            elif kind == "eq":
+                self._acc_eq[name] = v
+            else:
+                self._acc_uneq[name] = v
+        self._eq_count = count
+        self._uneq_count = count
+        self.accumulate()
+        return err_u
 
     # ------------------------------------------------------------------
     # per-sweep measurement (measurementh5.h:189-227)

@@ -457,42 +457,49 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         log(f"Thermalization transient precision error = {therm_err_max:.4e}")
     states = jax.jit(jax.vmap(reset_error_stats))(states)
 
-    # measurement sweeps (main.cpp:144-171)
+    # measurement sweeps (main.cpp:144-171), fused: one jitted program runs
+    # a whole bin — n_sweeps iterations of (sweep pair -> unequal-time sweep
+    # -> measurements -> accumulator adds) scanned on device — and the host
+    # touches the accumulators once per bin.  The per-sweep dispatch loop it
+    # replaces paid hundreds of ms/sweep in host round-trips through the
+    # TPU tunnel (one sync readback + ~10 small accumulator dispatches per
+    # sweep).
     err_uneq_max = 0.0
     t0 = time.perf_counter()
-    total = (n_bins - start_bin) * n_sweeps
-    if profile_dir:
-        # jax.profiler trace of a few representative measured sweeps
-        jax.profiler.start_trace(profile_dir)
-    for isweep in range(1, total + 1):
-        states = step(states)
-        if uneq and uneq_fn is not None:
-            ys, err_u = uneq_step(states)
-            if model.det_power == 1:  # sign-weight unequal-time data too
-                s = states.sign.reshape((-1,) + (1,) * 4)
-                ys = {k: v * s for k, v in ys.items()}
-            manager.measure_unequal_result(ys)
-            err_uneq_max = max(err_uneq_max, float(jnp.max(err_u)))
-        G = warp(states.G) if symmetric else states.G
-        # sign-prone models (det_power == 1) measure sign-weighted
-        manager.measure_equal(
-            G, signs=states.sign if model.det_power == 1 else None)
-        if profile_dir and isweep == min(3, total):
+    iter_fn, zero_acc = manager.make_measured_iter(
+        step, uneq_step if (uneq and uneq_fn is not None) else None,
+        warp_fn=warp if symmetric else None,
+        signed=model.det_power == 1)
+
+    @jax.jit
+    def bin_fn(states, acc):
+        def body(c, _):
+            return iter_fn(*c), None
+        (states, acc), _ = jax.lax.scan(body, (states, acc), None,
+                                        length=n_sweeps)
+        return states, acc
+
+    for ibin in range(start_bin, n_bins):
+        if profile_dir and ibin == start_bin:
+            jax.profiler.start_trace(profile_dir)
+        acc = zero_acc(states)
+        states, acc = bin_fn(states, acc)
+        if profile_dir and ibin == start_bin:
             jax.block_until_ready(states.G)
             jax.profiler.stop_trace()
             log(f"Profiler trace written to {profile_dir}")
-            profile_dir = ""
-        if isweep % n_sweeps == 0:
-            manager.accumulate()
-            if not warned:
-                cur_err = float(jnp.max(states.err_max))
-                if cur_err > err_warn:
-                    print(f"WARNING: GF precision {cur_err:.3e} exceeds "
-                          f"{err_warn:.1e}. Reduce n_stab or increase nt.",
-                          file=sys.stderr)
-                    warned = True
-            if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:
-                checkpoint(True)
+        err_uneq_max = max(err_uneq_max,
+                           manager.ingest_bin(jax.device_get(acc), n_sweeps))
+        if not warned:
+            cur_err = float(jnp.max(states.err_max))
+            if cur_err > err_warn:
+                print(f"WARNING: GF precision {cur_err:.3e} exceeds "
+                      f"{err_warn:.1e}. Reduce n_stab or increase nt.",
+                      file=sys.stderr)
+                warned = True
+        if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:
+            checkpoint(True)
+    total = (n_bins - start_bin) * n_sweeps
     jax.block_until_ready(states.G)
     dt_meas = time.perf_counter() - t0
     manager.close()
