@@ -126,11 +126,18 @@ def to_ldr(M: DF) -> LDRdf:
                    df32.df(jnp.zeros_like(sp)), d)
     # R: rows rescaled by sign/|diag|, then un-equilibrated (sp_j / sp_i;
     # <= 1 on the upper triangle in sorted order, and the lower triangle
-    # is exactly zero)
+    # is exactly zero).  The lower-triangle ratio sp_j / sp_i can OVERFLOW
+    # f32 (the accumulated d-ladder spread exceeds e^88 deep in a beta=8
+    # chain), and 0 * inf = NaN would land exactly on R's structural
+    # zeros — zero the ratio there explicitly (the f32 path clamps the
+    # same way in the log domain, ops/linalg.py to_ldr).
     inv_d = df32.div(df32.df(sign), dabs_safe)
     R = df32.mul(Rn, _bcast_col(inv_d, Rn.hi.shape))
+    n = Rn.hi.shape[-1]
+    upper = (jnp.arange(n)[:, None] <= jnp.arange(n)[None, :])
     ratio = df32.mul(_bcast_row(df32.df(sp_safe), R.hi.shape),
                      _bcast_col(inv_sp, R.hi.shape))
+    ratio = df32.where(upper, ratio, df32.df(jnp.zeros_like(ratio.hi)))
     R = df32.mul(R, ratio)
     inv_perm = jnp.argsort(perm, axis=-1)
     R = DF(jnp.take_along_axis(R.hi, inv_perm[..., None, :], axis=-1),
