@@ -33,9 +33,15 @@ CONFIGS = {
     "doped": (12, 6.0, 120, 5, 6.0, -0.88, 32, False),
     "stretch": (32, 16.0, 320, 5, 4.0, 0.0, 4, False),
     "stretch_cb": (32, 16.0, 320, 5, 4.0, 0.0, 4, True),
+    # 2-flavor repulsive model (half filled, sign-free): the production
+    # benchmark row for the 2f Pallas site kernel / df32 repulsive tier
+    "repulsive": (8, 4.0, 80, 5, 4.0, 0.0, 32, False),
 }
+# presets simulated with a non-default model class
+MODEL_BY_CONFIG = {"repulsive": "repulsive"}
 
 L, BETA, NT, NSTAB, U, MU = CONFIGS["headline"][:6]
+MODEL = "attractive"
 
 
 def log(*a):
@@ -62,15 +68,19 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
                                  sweep_pair)
     from dqmc_tpu.engine.fused import supports_fused, sweep_pair_fused
     from dqmc_tpu.lattice import square_lattice
-    from dqmc_tpu.models import AttractiveHubbard
+    from dqmc_tpu.models import AttractiveHubbard, RepulsiveHubbard
 
     dtype = {"float32": jnp.float32, "float64": jnp.float64,
              "df32": jnp.float32}[dtype_name]
-    log(f"benchmark device: {jax.devices()[0]} dtype={dtype_name}")
+    log(f"benchmark device: {jax.devices()[0]} dtype={dtype_name} "
+        f"model={MODEL}")
     lat = square_lattice(L, L)
-    model = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
-                                    nt=NT, dtype=dtype,
-                                    checkerboard=checkerboard)
+    model_cls = (RepulsiveHubbard if MODEL == "repulsive"
+                 else AttractiveHubbard)
+    model = model_cls.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
+                            nt=NT, dtype=dtype,
+                            **({} if MODEL == "repulsive"
+                               else {"checkerboard": checkerboard}))
     # f32: the fused block kernel (engine/fused.py) where supported, else
     # the per-slice Pallas site-update; df32 parity mode: f32 kernels with
     # the df32 stabilization path (engine/df_sweep.py); f64 strict-parity
@@ -82,7 +92,8 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
                                               init_state_df)
         if checkerboard:
             raise NotImplementedError("df32 mode: dense kinetics only")
-        aux = df_aux_build(lat, U=U, t=1.0, mu=MU, beta=BETA, nt=NT)
+        aux = df_aux_build(lat, U=U, t=1.0, mu=MU, beta=BETA, nt=NT,
+                           n_flavor=model.n_flavor)
         cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
     elif fused:
         cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
@@ -331,7 +342,7 @@ def probe_backend(timeout_s: int = 300) -> bool:
 
 
 def main():
-    global L, BETA, NT, NSTAB, U, MU
+    global L, BETA, NT, NSTAB, U, MU, MODEL
     p = argparse.ArgumentParser()
     p.add_argument("--config", choices=sorted(CONFIGS), default="headline")
     p.add_argument("--walkers", type=int, default=None)
@@ -358,6 +369,7 @@ def main():
     args = p.parse_args()
 
     L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
+    MODEL = MODEL_BY_CONFIG.get(args.config, "attractive")
     if args.n_stab:
         NSTAB = args.n_stab
     walkers = args.walkers or default_w
@@ -399,6 +411,7 @@ def main():
                       f"U={U} Hubbard, nt={NT}, {args.dtype}, {walkers} "
                       f"walkers, uneq+measure fused)",
             "value": round(rate, 3),
+            "ok": True,
             "unit": "measured sweeps/s/chip",
             # the bare-sweep baseline: measured iterations do strictly more
             # work per unit, so vs_baseline stays conservative
@@ -449,6 +462,7 @@ def main():
                   f"nt={NT}, {args.dtype}, {walkers} walkers"
                   + (", checkerboard" if cb else "") + ")",
         "value": round(rate, 3),
+        "ok": True,
         "unit": "sweeps/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "err_max_steady": err,

@@ -1,0 +1,127 @@
+"""Error attribution for the df32 parity chain (the 1e-10 push).
+
+Measures, on the fixed-field beta=8 chain (the tests/test_df_linalg.py
+workload, scaled), where the ~1e-8 df32 chain error comes from and what
+buys the next two digits:
+
+  1. chain error vs f64-stabilized oracle at fold granularities
+     n_fold = n_stab, 2, 1 (single-slice df folds cut the equilibrated
+     fold-input condition number, which multiplies eps_df per fold);
+  2. the same chains re-solved EXACTLY in f64 (isolates fold error from
+     the df solve tier);
+  3. the per-fold condition numbers of the equilibrated QR inputs.
+
+Run on TPU (df graphs are bit-stable under jit there) or CPU (forced
+eager — XLA:CPU backend codegen corrupts fused df chains, see
+ops/df_linalg.py docstring).
+
+Usage: python tools/df_parity_probe.py [--n 64] [--nt 80] [--beta 8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--nt", type=int, default=80)
+    p.add_argument("--beta", type=float, default=8.0)
+    p.add_argument("--n-stab", type=int, default=5)
+    p.add_argument("--seed", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from dqmc_tpu.ops import df32, df_linalg, linalg
+
+    sys.path.insert(0, "tests")
+    from test_df_linalg import _b_chain, _stab64_suffix
+
+    rng = np.random.default_rng(args.seed)
+    Bs = _b_chain(rng, args.n, args.nt, args.beta)
+    n = args.n
+
+    # On TPU, jit the per-fold ops (df graphs are bit-stable under jit
+    # there; one compile each, then ~ms dispatches).  On CPU stay eager
+    # (the LLVM contraction bug corrupts jitted df chains).
+    on_cpu = jax.default_backend() == "cpu"
+    fold_first = df_linalg.to_ldr if on_cpu else jax.jit(df_linalg.to_ldr)
+    fold_next = (df_linalg.mat_mul_ldr if on_cpu
+                 else jax.jit(df_linalg.mat_mul_ldr))
+
+    # f64 stabilized oracle
+    F64 = _stab64_suffix(Bs, args.n_stab)
+    G64, _ = linalg.inv_one_plus_ldr_dag(
+        linalg.identity_ldr(n, jnp.float64), F64)
+    G64 = np.asarray(G64)
+
+    def df_from64(x):
+        return df32.from_f64(jnp.asarray(x, jnp.float64))
+
+    def to64(x):
+        return np.asarray(df32.to_f64(x))
+
+    def df_chain(n_fold, track_cond=False):
+        """Transpose-suffix df chain folding every n_fold slices."""
+        F2t = None
+        conds = []
+        nt = len(Bs)
+        for i_blk in range(-(-nt // n_fold) - 1, -1, -1):
+            blk = Bs[i_blk * n_fold:(i_blk + 1) * n_fold]
+            Bbar = np.eye(n)
+            for B in blk:
+                Bbar = B @ Bbar
+            T = df_from64(Bbar.T)
+            if F2t is None:
+                F2t = fold_first(T)
+            else:
+                if track_cond:
+                    # the equilibrated QR input of this fold
+                    BL = df32.matmul(T, F2t.L)
+                    Bd = df32.mul(BL, df_linalg._bcast_row(
+                        F2t.d, BL.hi.shape))
+                    A = to64(Bd)
+                    s = np.abs(A).max(axis=0)
+                    conds.append(np.linalg.cond(A / s[None, :]))
+                F2t = fold_next(T, F2t)
+        return F2t, conds
+
+    inv_dag = (df_linalg.inv_one_plus_ldr_dag if on_cpu
+               else jax.jit(df_linalg.inv_one_plus_ldr_dag))
+
+    def solve_df(F2t):
+        F1 = fold_first(df32.df(jnp.eye(n, dtype=jnp.float32)))
+        G, _ = inv_dag(F1, F2t)
+        return to64(G)
+
+    def solve_f64_exact(F2t):
+        """Re-solve the df factors exactly in f64 (fold-error isolation)."""
+        Fx = linalg.LDR(jnp.asarray(to64(F2t.L)), jnp.asarray(to64(F2t.d)),
+                        jnp.asarray(to64(F2t.R)))
+        G, _ = linalg.inv_one_plus_ldr_dag(
+            linalg.identity_ldr(n, jnp.float64), Fx)
+        return np.asarray(G)
+
+    print(f"workload: n={n} nt={args.nt} beta={args.beta} "
+          f"n_stab={args.n_stab}  (oracle: f64 stabilized chain)")
+    for n_fold in (args.n_stab, 2, 1):
+        t0 = time.time()
+        F2t, conds = df_chain(n_fold, track_cond=True)
+        e_df = np.abs(solve_df(F2t) - G64).max()
+        e_x = np.abs(solve_f64_exact(F2t) - G64).max()
+        print(f"n_fold={n_fold:2d}: chain+df-solve err={e_df:.3e}  "
+              f"fold-only (exact f64 solve) err={e_x:.3e}  "
+              f"fold-input cond: med={np.median(conds):.2e} "
+              f"max={np.max(conds):.2e}  [{time.time()-t0:.0f}s]")
+
+
+if __name__ == "__main__":
+    main()
