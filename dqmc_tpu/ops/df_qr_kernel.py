@@ -65,6 +65,15 @@ _NP = 7            # digit planes: 7 x 7 bits = 49 = df32's significand
 _PBITS = 7
 _X = 8             # plane rows allotted per column (7 + 1 pad, aligned)
 
+# Mosaic's lower_fun nesting for this kernel's convert chains exceeds
+# CPython's default 1000-frame recursion limit at some shapes (observed:
+# unbatched n=64 panels — RecursionError inside
+# _convert_element_type_lowering_rule); the lowering is finite, just deep.
+import sys as _sys
+
+if _sys.getrecursionlimit() < 10000:
+    _sys.setrecursionlimit(10000)
+
 
 def _t(x: DF) -> DF:
     return DF(jnp.swapaxes(x.hi, -1, -2), jnp.swapaxes(x.lo, -1, -2))
@@ -166,7 +175,11 @@ def _panel_kernel(block, n, ph_ref, pl_ref, qh_ref, ql_ref, rh_ref, rl_ref,
     sq_ref[...] = jnp.ones_like(sq_ref)
 
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
-    m0 = (lane_x % _X == 0).astype(f32)           # lanes X*t
+    # keep every scalar in the modular lane arithmetic an explicit int32:
+    # under jax_enable_x64 a bare Python int becomes an i64[] operand and
+    # Mosaic's convert-lowering recurses without terminating on it
+    _Xc = jnp.int32(_X)
+    m0 = (lane_x % _Xc == 0).astype(f32)          # lanes X*t
 
     def dot_n(x, y):
         # (WB, a, n) x (WB, b, n) -> (WB, a, b): contract lanes
@@ -224,7 +237,7 @@ def _panel_kernel(block, n, ph_ref, pl_ref, qh_ref, ql_ref, rh_ref, rl_ref,
             # every f32 accumulation keeps a single power-of-two scale
             cls = [None] * (2 * _NP - 1)
             for j in range(_NP):
-                mj = (lane_x % _X == j)
+                mj = (lane_x % _Xc == jnp.int32(j))
                 lhs = jnp.where(mj, estack, jnp.bfloat16(0))
                 Dj = dot_r(lhs, qplanes)             # (WB, 8, n) exact
                 for i in range(_NP - j):
@@ -261,7 +274,7 @@ def _panel_kernel(block, n, ph_ref, pl_ref, qh_ref, ql_ref, rh_ref, rl_ref,
         # flush q's planes: one aligned 8-row bf16 store at X*t
         planes_q, s_q = _extract_planes(q)
         pq_ref[:, pl.ds(t * _X, _X), :] = _stack8_bf16(planes_q)
-        grp = (lane_x // _X == t).reshape(1, nx)
+        grp = (lane_x // _Xc == t).reshape(1, nx)
         sq_all = sq_ref[...]
         sq_ref[...] = jnp.where(grp, s_q.reshape(WB, 1), sq_all)
         # R row (expanded): coefficients at lanes X*u, diag at lane X*t
