@@ -50,6 +50,21 @@ class DF(NamedTuple):
         return self.hi.shape
 
 
+def cmap(f, *xs) -> DF:
+    """Apply a structural (value-preserving) array op to each component.
+
+    Part of the numerics-module protocol shared with ops/tf32.py: code
+    generic over the component count (ops/df_linalg.py, ops/df_qr.py)
+    uses cmap for transposes/slices/broadcasts instead of constructing
+    DF(...) from named fields."""
+    return DF(*(f(*parts) for parts in zip(*xs)))
+
+
+def zeros(shape, dtype=jnp.float32) -> DF:
+    z = jnp.zeros(shape, dtype)
+    return DF(z, z)
+
+
 # ----------------------------------------------------------------------
 # error-free transformations (all plain f32 ops; no FMA on the TPU VPU)
 # ----------------------------------------------------------------------

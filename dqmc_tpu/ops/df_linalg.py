@@ -44,11 +44,12 @@ from dqmc_tpu.ops.df_qr import df_qr
 
 
 class LDRdf(NamedTuple):
-    """M = L * diag(d) * R at df32 precision.
+    """M = L * diag(d) * R at multiword (df32 or tf32) precision.
 
-    d is stored as a df pair of the SCALES (not logs): per-factor scales
-    stay within f32 range by construction (folds re-equilibrate every
-    n_stab slices; the accumulated ladder lives across factors).
+    d is stored as a multiword tuple of the SCALES (not logs):
+    per-factor scales stay within f32 range by construction (folds
+    re-equilibrate every n_stab slices; the accumulated ladder lives
+    across factors).
     """
     L: DF
     d: DF
@@ -59,23 +60,20 @@ class LDRdf(NamedTuple):
         return self.L.hi.shape[-1]
 
 
-def transpose(x: DF) -> DF:
-    return DF(jnp.swapaxes(x.hi, -1, -2), jnp.swapaxes(x.lo, -1, -2))
+def transpose(x):
+    return type(x)(*(jnp.swapaxes(c, -1, -2) for c in x))
 
 
-def _diag(x: DF) -> DF:
-    return DF(jnp.diagonal(x.hi, axis1=-2, axis2=-1),
-              jnp.diagonal(x.lo, axis1=-2, axis2=-1))
+def _diag(x):
+    return type(x)(*(jnp.diagonal(c, axis1=-2, axis2=-1) for c in x))
 
 
-def _bcast_row(v: DF, shape) -> DF:
-    return DF(jnp.broadcast_to(v.hi[..., None, :], shape),
-              jnp.broadcast_to(v.lo[..., None, :], shape))
+def _bcast_row(v, shape):
+    return type(v)(*(jnp.broadcast_to(c[..., None, :], shape) for c in v))
 
 
-def _bcast_col(v: DF, shape) -> DF:
-    return DF(jnp.broadcast_to(v.hi[..., :, None], shape),
-              jnp.broadcast_to(v.lo[..., :, None], shape))
+def _bcast_col(v, shape):
+    return type(v)(*(jnp.broadcast_to(c[..., :, None], shape) for c in v))
 
 
 def _df_qr_mode() -> str:
@@ -92,15 +90,15 @@ def _df_qr_mode() -> str:
     return "xla" if jax.default_backend() == "cpu" else "hybrid"
 
 
-def _qr(M: DF):
-    if _df_qr_mode() == "hybrid":
+def _qr(M: DF, nm=df32):
+    if nm is df32 and _df_qr_mode() == "hybrid":
         from dqmc_tpu.ops.df_qr_kernel import df_qr_hybrid
         return df_qr_hybrid(M)
-    return df_qr(M)
+    return df_qr(M, nm=nm)
 
 
-def to_ldr(M: DF) -> LDRdf:
-    """Column-presorted df QR factorization into L * diag(d) * R.
+def to_ldr(M: DF, nm=df32) -> LDRdf:
+    """Column-presorted multiword QR factorization into L * diag(d) * R.
 
     Mirrors ops/linalg.to_ldr (stablelinalg.cpp:35-55 semantics): columns
     sorted by max-abs scale (descending) before the QR, d = |diag R| with
@@ -109,21 +107,21 @@ def to_ldr(M: DF) -> LDRdf:
     """
     s = jnp.max(jnp.abs(M.hi), axis=-2)
     perm = jnp.argsort(-s, stable=True)
-    Mp = DF(jnp.take_along_axis(M.hi, perm[..., None, :], axis=-1),
-            jnp.take_along_axis(M.lo, perm[..., None, :], axis=-1))
+    Mp = nm.cmap(
+        lambda c: jnp.take_along_axis(c, perm[..., None, :], axis=-1), M)
     sp = jnp.take_along_axis(s, perm, axis=-1)
     sp_safe = jnp.where(sp == 0, jnp.ones_like(sp), sp)
-    inv_sp = df32.div(df32.df(jnp.ones_like(sp)), df32.df(sp_safe))
-    Mn = df32.mul(Mp, _bcast_row(inv_sp, Mp.hi.shape))
-    Q, Rn = _qr(Mn)
+    inv_sp = nm.div(nm.df(jnp.ones_like(sp)), nm.df(sp_safe))
+    Mn = nm.mul(Mp, _bcast_row(inv_sp, Mp.hi.shape))
+    Q, Rn = _qr(Mn, nm=nm)
     dn = _diag(Rn)
     sign = jnp.where(dn.hi < 0, jnp.float32(-1), jnp.float32(1))
-    dabs = DF(dn.hi * sign, dn.lo * sign)
-    dabs_safe = df32.where(dabs.hi == 0, df32.df(jnp.ones_like(dabs.hi)),
-                           dabs)
-    d = df32.mul(dabs_safe, df32.df(sp_safe))
-    d = df32.where((sp == 0) | (dabs.hi == 0),
-                   df32.df(jnp.zeros_like(sp)), d)
+    dabs = nm.cmap(lambda c: c * sign, dn)
+    dabs_safe = nm.where(dabs.hi == 0, nm.df(jnp.ones_like(dabs.hi)),
+                         dabs)
+    d = nm.mul(dabs_safe, nm.df(sp_safe))
+    d = nm.where((sp == 0) | (dabs.hi == 0),
+                 nm.df(jnp.zeros_like(sp)), d)
     # R: rows rescaled by sign/|diag|, then un-equilibrated (sp_j / sp_i;
     # <= 1 on the upper triangle in sorted order, and the lower triangle
     # is exactly zero).  The lower-triangle ratio sp_j / sp_i can OVERFLOW
@@ -131,48 +129,50 @@ def to_ldr(M: DF) -> LDRdf:
     # chain), and 0 * inf = NaN would land exactly on R's structural
     # zeros — zero the ratio there explicitly (the f32 path clamps the
     # same way in the log domain, ops/linalg.py to_ldr).
-    inv_d = df32.div(df32.df(sign), dabs_safe)
-    R = df32.mul(Rn, _bcast_col(inv_d, Rn.hi.shape))
+    inv_d = nm.div(nm.df(sign), dabs_safe)
+    R = nm.mul(Rn, _bcast_col(inv_d, Rn.hi.shape))
     n = Rn.hi.shape[-1]
     upper = (jnp.arange(n)[:, None] <= jnp.arange(n)[None, :])
-    ratio = df32.mul(_bcast_row(df32.df(sp_safe), R.hi.shape),
-                     _bcast_col(inv_sp, R.hi.shape))
-    ratio = df32.where(upper, ratio, df32.df(jnp.zeros_like(ratio.hi)))
-    R = df32.mul(R, ratio)
+    ratio = nm.mul(_bcast_row(nm.df(sp_safe), R.hi.shape),
+                   _bcast_col(inv_sp, R.hi.shape))
+    ratio = nm.where(upper, ratio, nm.df(jnp.zeros_like(ratio.hi)))
+    R = nm.mul(R, ratio)
     inv_perm = jnp.argsort(perm, axis=-1)
-    R = DF(jnp.take_along_axis(R.hi, inv_perm[..., None, :], axis=-1),
-           jnp.take_along_axis(R.lo, inv_perm[..., None, :], axis=-1))
-    L = DF(Q.hi * sign[..., None, :], Q.lo * sign[..., None, :])
+    R = nm.cmap(
+        lambda c: jnp.take_along_axis(c, inv_perm[..., None, :], axis=-1),
+        R)
+    L = nm.cmap(lambda c: c * sign[..., None, :], Q)
     return LDRdf(L, d, R)
 
 
-def ldr_matrix(F: LDRdf) -> DF:
+def ldr_matrix(F: LDRdf, nm=df32) -> DF:
     """Dense L * diag(d) * R (tests / oracles).
 
-    Associated as L @ (diag(d) R): df32.matmul scales its lhs per ROW and
-    its rhs per COLUMN, so the d-grading must ride the rhs rows (captured
-    by the rhs column scales) — (L d) @ R would push the small-d columns
-    below the lhs row-scale plane window and lose columnwise accuracy
-    (measured 0.17 relative on an e^+-15 ladder vs 2^-46 this way)."""
-    Rd = df32.mul(F.R, _bcast_col(F.d, F.R.hi.shape))
-    return df32.matmul(F.L, Rd)
+    Associated as L @ (diag(d) R): the Ozaki matmul scales its lhs per
+    ROW and its rhs per COLUMN, so the d-grading must ride the rhs rows
+    (captured by the rhs column scales) — (L d) @ R would push the
+    small-d columns below the lhs row-scale plane window and lose
+    columnwise accuracy (measured 0.17 relative on an e^+-15 ladder vs
+    2^-46 this way)."""
+    Rd = nm.mul(F.R, _bcast_col(F.d, F.R.hi.shape))
+    return nm.matmul(F.L, Rd)
 
 
-def mat_mul_ldr(B: DF, F: LDRdf) -> LDRdf:
+def mat_mul_ldr(B: DF, F: LDRdf, nm=df32) -> LDRdf:
     """LDR of (B @ F_matrix): the forward fold (stablelinalg.cpp:69-79)."""
-    BL = df32.matmul(B, F.L)
-    Bd = df32.mul(BL, _bcast_row(F.d, BL.hi.shape))
-    F2 = to_ldr(Bd)
-    R = df32.matmul(F2.R, F.R)
+    BL = nm.matmul(B, F.L)
+    Bd = nm.mul(BL, _bcast_row(F.d, BL.hi.shape))
+    F2 = to_ldr(Bd, nm=nm)
+    R = nm.matmul(F2.R, F.R)
     return LDRdf(F2.L, F2.d, R)
 
 
-def _split_scales(d: DF):
+def _split_scales(d: DF, nm=df32):
     """(d_large, d_small): clamped >= 1 / <= 1 (stablelinalg.cpp:100)."""
     one = jnp.ones_like(d.hi)
     big = d.hi > 1.0
-    dl = df32.where(big, d, df32.df(one))
-    ds = df32.where(big, df32.df(one), d)
+    dl = nm.where(big, d, nm.df(one))
+    ds = nm.where(big, nm.df(one), d)
     return dl, ds
 
 
@@ -184,15 +184,21 @@ def _f32_qr(A_hi: jax.Array):
     return jnp.linalg.qr(A_hi)
 
 
-def _solve_refined(Mdf: DF, Y: DF, n_ir: int = 3):
-    """X = M^{-1} Y and log|det M| via f32 QR + df iterative refinement.
+def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32):
+    """X = M^{-1} Y and log|det M| via f32 QR + multiword iterative
+    refinement.
 
-    n_ir=3: each step contracts the error by ~eps32 * cond(M) (~5e-3 at
-    beta=8 where cond(M) ~ 4e4).  On TPU the f32 factorization is the
-    CGS2 Pallas kernel, whose starting error is a few times Householder's;
-    with n_ir=2 the solve dominated the whole chain's error budget
-    (3.6e-7 vs the folds' 1.1e-8 — measured by re-solving the same df
-    factors exactly), with n_ir=3 it converges to the df factor floor."""
+    Each step contracts the error by ~eps32 * cond(M) (~5e-3 at beta=8
+    where cond(M) ~ 4e4).  On TPU the f32 factorization is the CGS2
+    Pallas kernel, whose starting error is a few times Householder's.
+    df32 default n_ir=3: with n_ir=2 the solve dominated the whole
+    chain's error budget (3.6e-7 vs the folds' 1.1e-8 — measured by
+    re-solving the same df factors exactly), with 3 it converges to the
+    df factor floor.  tf32 default n_ir=8: the ~5e-3 contraction needs
+    ~8 steps to reach the ~2^-68 tf floor; the residual is computed in
+    tf so the floor is genuine."""
+    if n_ir is None:
+        n_ir = 3 if nm is df32 else 8
     Q, R = _f32_qr(Mdf.hi)
     QT32 = jnp.swapaxes(Q, -1, -2)
 
@@ -200,24 +206,23 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int = 3):
         return jax.lax.linalg.triangular_solve(
             R, jnp.matmul(QT32, rhs32), left_side=True, lower=False)
 
-    X = df32.df(f32_solve(Y.hi))
+    X = nm.df(f32_solve(Y.hi))
     for _ in range(n_ir):
-        r = df32.sub(Y, df32.matmul(Mdf, X))
-        X = df32.add(X, df32.df(f32_solve(r.hi)))
+        r = nm.sub(Y, nm.matmul(Mdf, X))
+        X = nm.add(X, nm.df(f32_solve(r.hi)))
 
     # log|det M|: the f32 diag(R) carries only ~2^-23 relative (log error
-    # ~1e-7), so refine the diagonal via R' = Q^T M in df (one df matmul;
-    # Q's orthogonality defect enters the log only at second order)
-    Rref = df32.matmul(DF(QT32, jnp.zeros_like(QT32)), Mdf)
+    # ~1e-7), so refine the diagonal via R' = Q^T M in multiword (one
+    # matmul; Q's orthogonality defect enters the log only at second
+    # order)
+    Rref = nm.matmul(nm.df(QT32), Mdf)
     diag = _diag(Rref)
-    logabs = jnp.sum(jnp.log(jnp.abs(diag.hi.astype(jnp.float64)
-                                     + diag.lo.astype(jnp.float64))),
-                     axis=-1)
+    logabs = jnp.sum(jnp.log(jnp.abs(nm.to_f64(diag))), axis=-1)
     return X, logabs
 
 
-def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf):
-    """G = [I + F1_matrix @ F2t_matrix^T]^{-1} and log|det|, in df32.
+def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
+    """G = [I + F1_matrix @ F2t_matrix^T]^{-1} and log|det|, multiword.
 
     The dag (transpose-suffix) formulation of ops/linalg.py: F2t holds
     the LDR of B(beta,tau)^T, the middle matrix
@@ -227,27 +232,25 @@ def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf):
     is equilibrated, and G = (L2 / d2l) M^{-1} (L1^T / d1l)
     (cf. stablelinalg.cpp:94-126).
     """
-    d1l, d1s = _split_scales(F1.d)
-    d2l, d2s = _split_scales(F2t.d)
-    inv_d1l = df32.div(df32.df(jnp.ones_like(d1l.hi)), d1l)
-    inv_d2l = df32.div(df32.df(jnp.ones_like(d2l.hi)), d2l)
+    d1l, d1s = _split_scales(F1.d, nm=nm)
+    d2l, d2s = _split_scales(F2t.d, nm=nm)
+    inv_d1l = nm.div(nm.df(jnp.ones_like(d1l.hi)), d1l)
+    inv_d2l = nm.div(nm.df(jnp.ones_like(d2l.hi)), d2l)
     L1T = transpose(F1.L)
     shape = L1T.hi.shape
-    termA = df32.matmul(L1T, F2t.L)
-    termA = df32.mul(termA, _bcast_col(inv_d1l, shape))
-    termA = df32.mul(termA, _bcast_row(inv_d2l, shape))
-    termB = df32.matmul(F1.R, transpose(F2t.R))
-    termB = df32.mul(termB, _bcast_col(d1s, shape))
-    termB = df32.mul(termB, _bcast_row(d2s, shape))
-    M = df32.add(termA, termB)
+    termA = nm.matmul(L1T, F2t.L)
+    termA = nm.mul(termA, _bcast_col(inv_d1l, shape))
+    termA = nm.mul(termA, _bcast_row(inv_d2l, shape))
+    termB = nm.matmul(F1.R, transpose(F2t.R))
+    termB = nm.mul(termB, _bcast_col(d1s, shape))
+    termB = nm.mul(termB, _bcast_row(d2s, shape))
+    M = nm.add(termA, termB)
 
-    Y = df32.mul(L1T, _bcast_col(inv_d1l, shape))
-    X, logabs = _solve_refined(M, Y)
-    W2 = df32.mul(F2t.L, _bcast_row(inv_d2l, shape))
-    G = df32.matmul(W2, X)
-    log_det = (jnp.sum(jnp.log(d1l.hi.astype(jnp.float64)
-                               + d1l.lo.astype(jnp.float64)), axis=-1)
-               + jnp.sum(jnp.log(d2l.hi.astype(jnp.float64)
-                                 + d2l.lo.astype(jnp.float64)), axis=-1)
+    Y = nm.mul(L1T, _bcast_col(inv_d1l, shape))
+    X, logabs = _solve_refined(M, Y, nm=nm)
+    W2 = nm.mul(F2t.L, _bcast_row(inv_d2l, shape))
+    G = nm.matmul(W2, X)
+    log_det = (jnp.sum(jnp.log(nm.to_f64(d1l)), axis=-1)
+               + jnp.sum(jnp.log(nm.to_f64(d2l)), axis=-1)
                + logabs)
     return G, log_det

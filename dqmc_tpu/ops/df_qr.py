@@ -1,77 +1,79 @@
-"""df32 CGS2 QR: ~2^-46 factorization built only from df32 ops.
+"""Multiword CGS2 QR: parity-grade factorization from f32 hardware ops.
 
-The parity-grade factorization of the LDR stabilization chain
-(ops/df_linalg.py).  A real df orthogonalization loop is required — not a
-refinement of the f32 factorization: for graded DQMC folds the f32 Q
-basis misaligns from the true triangular basis by O(eps32 * cond)
-rotations in the small-d directions; every matmul-level repair either
-loses the alignment (Newton orthogonalization), explodes under
-un-equilibration (keeping the non-triangular R), caps the backward error
-at f32 grade (masking), or diverges (first-order rotations) — all four
-measured, see NOTES.md.  Classical Gram-Schmidt with reorthogonalization
-carried in df arithmetic resolves the grading down to ~2^-46 directly.
+The factorization of the LDR stabilization chain (ops/df_linalg.py),
+generic over the multiword numerics module ``nm`` — ops/df32.py
+(~2^-46, the sampling parity tier) or ops/tf32.py (~2^-68, the
+measurement parity++ tier).
+
+A real multiword orthogonalization loop is required — not a refinement
+of the f32 factorization: for graded DQMC folds the f32 Q basis
+misaligns from the true triangular basis by O(eps32 * cond) rotations
+in the small-d directions; every matmul-level repair either loses the
+alignment (Newton orthogonalization), explodes under un-equilibration
+(keeping the non-triangular R), caps the backward error at f32 grade
+(masking), or diverges (first-order rotations) — all four measured, see
+NOTES.md.  Classical Gram-Schmidt with reorthogonalization carried in
+multiword arithmetic resolves the grading down to the arithmetic's
+floor directly.
 
 Structure mirrors the f32 Pallas kernel (ops/qr_kernel.py): 32-column
-panels, two batched panel-external projection passes (df matmuls on the
-MXU via the int8 digit-plane scheme), and a ``lax.fori_loop`` over the
-columns inside a panel (two-pass CGS), so the trace/compile cost is O(1)
-in the in-panel column count instead of O(n) — a fully unrolled
-per-column loop at n=256 produced ~100k-primitive graphs that took XLA
-minutes to compile.
+panels, two batched panel-external projection passes (multiword matmuls
+on the MXU via the int8 digit-plane scheme), and a ``lax.fori_loop``
+over the columns inside a panel (two-pass CGS), so the trace/compile
+cost is O(1) in the in-panel column count instead of O(n) — a fully
+unrolled per-column loop at n=256 produced ~100k-primitive graphs that
+took XLA minutes to compile.
 
 Everything runs on A^T (rows = columns of A), per-column access is a
-sublane dynamic slice, and R is accumulated transposed, exactly like the
-Pallas kernel's layout.
+sublane dynamic slice, and R is accumulated transposed, exactly like
+the Pallas kernel's layout.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dqmc_tpu.ops import df32
-from dqmc_tpu.ops.df32 import DF
 
 _BLOCK = 32
 
 
-def _t(x: DF) -> DF:
-    return DF(jnp.swapaxes(x.hi, -1, -2), jnp.swapaxes(x.lo, -1, -2))
+def _t(x):
+    return type(x)(*(jnp.swapaxes(c, -1, -2) for c in x))
 
 
-def _rows(x: DF, a, b) -> DF:
-    return DF(x.hi[..., a:b, :], x.lo[..., a:b, :])
+def _rows(x, a, b):
+    return type(x)(*(c[..., a:b, :] for c in x))
 
 
-def _set_rows(x: DF, a, b, v: DF) -> DF:
-    return DF(x.hi.at[..., a:b, :].set(v.hi),
-              x.lo.at[..., a:b, :].set(v.lo))
+def _set_rows(x, a, b, v):
+    return type(x)(*(c.at[..., a:b, :].set(u) for c, u in zip(x, v)))
 
 
-def _dyn_row(x: DF, t, size=1) -> DF:
+def _dyn_row(x, t, size=1):
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t, size, axis=-2)
-    return DF(sl(x.hi), sl(x.lo))
+    return type(x)(*(sl(c) for c in x))
 
 
-def _dyn_set_row(x: DF, t, v: DF) -> DF:
+def _dyn_set_row(x, t, v):
     st = lambda a, u: jax.lax.dynamic_update_slice_in_dim(a, u, t, axis=-2)
-    return DF(st(x.hi, v.hi), st(x.lo, v.lo))
+    return type(x)(*(st(c, u) for c, u in zip(x, v)))
 
 
-def df_qr(A: DF):
-    """(Q, R) with A = Q R to ~2^-46 columnwise, Q df-orthonormal, R upper.
+def df_qr(A, nm=df32):
+    """(Q, R) with A = Q R to ~nm's floor columnwise, Q nm-orthonormal,
+    R upper triangular.
 
-    A: (..., n, n) df pair; any leading batch dims.  n not a multiple of
-    the 32-column panel runs as one full-width panel (validation sizes;
-    the engine's lattices are padded upstream).
+    A: (..., n, n) multiword tuple of nm's type; any leading batch dims.
+    n not a multiple of the 32-column panel runs as one full-width panel
+    (validation sizes; the engine's lattices are padded upstream).
     """
     n = A.hi.shape[-1]
     block = _BLOCK if n % _BLOCK == 0 else n
     QT = _t(A)                                      # rows = columns of A
     batch = A.hi.shape[:-2]
-    rt = DF(jnp.zeros(batch + (n, n), jnp.float32),
-            jnp.zeros(batch + (n, n), jnp.float32))
+    rt = nm.zeros(batch + (n, n))
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
 
     for ip in range(n // block):
@@ -80,11 +82,11 @@ def df_qr(A: DF):
         for _ in range(2 if p else 0):
             P = _rows(QT, p, p + block)
             Qdone = _rows(QT, 0, p)
-            C = df32.matmul(P, _t(Qdone))           # (block, p)
-            P = df32.sub(P, df32.matmul(C, Qdone))
+            C = nm.matmul(P, _t(Qdone))             # (block, p)
+            P = nm.sub(P, nm.matmul(C, Qdone))
             QT = _set_rows(QT, p, p + block, P)
-            rt = DF(rt.hi.at[..., p:p + block, 0:p].add(C.hi),
-                    rt.lo.at[..., p:p + block, 0:p].add(C.lo))
+            rt = nm.cmap(
+                lambda r, c: r.at[..., p:p + block, 0:p].add(c), rt, C)
 
         # --- in-panel two-pass CGS, fori_loop over columns ---
         # Carry: a zero-initialized ``Qfin`` buffer that receives each
@@ -98,39 +100,35 @@ def df_qr(A: DF):
         # every q-row contribution is quantized relative to those larger
         # scales — measured on the graded QR test.)
         def col_step(t, carry):
-            Qfin, rg = carry                         # (.., block, n) df x2
-            y = _dyn_row(P0, t)                      # (.., 1, n) raw column
-            row = DF(jnp.zeros(batch + (1, block), jnp.float32),
-                     jnp.zeros(batch + (1, block), jnp.float32))
+            Qfin, rg = carry                        # (.., block, n) x2
+            y = _dyn_row(P0, t)                     # (.., 1, n) raw column
+            row = nm.zeros(batch + (1, block))
             for _ in range(2):
-                c = df32.matmul(y, _t(Qfin))         # (.., 1, block)
-                y = df32.sub(y, df32.matmul(c, Qfin))
-                row = df32.add(row, c)
-            nrm2 = df32.matmul(y, _t(y))             # (.., 1, 1)
-            nrm = df32.sqrt(DF(nrm2.hi[..., 0, 0], nrm2.lo[..., 0, 0]))
-            safe = df32.where(nrm.hi == 0,
-                              df32.df(jnp.ones_like(nrm.hi)), nrm)
-            inv = df32.div(df32.df(jnp.ones_like(nrm.hi)), safe)
-            q = df32.mul(y, DF(inv.hi[..., None, None],
-                               inv.lo[..., None, None]))
+                c = nm.matmul(y, _t(Qfin))          # (.., 1, block)
+                y = nm.sub(y, nm.matmul(c, Qfin))
+                row = nm.add(row, c)
+            nrm2 = nm.matmul(y, _t(y))              # (.., 1, 1)
+            nrm = nm.sqrt(nm.cmap(lambda a: a[..., 0, 0], nrm2))
+            safe = nm.where(nrm.hi == 0,
+                            nm.df(jnp.ones_like(nrm.hi)), nrm)
+            inv = nm.div(nm.df(jnp.ones_like(nrm.hi)), safe)
+            q = nm.mul(y, nm.cmap(lambda a: a[..., None, None], inv))
             Qfin = _dyn_set_row(Qfin, t, q)
             diag = (col_ids == t)
-            row = df32.where(jnp.broadcast_to(diag, row.hi.shape),
-                             DF(jnp.broadcast_to(nrm.hi[..., None, None],
-                                                 row.hi.shape),
-                                jnp.broadcast_to(nrm.lo[..., None, None],
-                                                 row.lo.shape)),
-                             row)
+            row = nm.where(
+                jnp.broadcast_to(diag, row.hi.shape),
+                nm.cmap(lambda a: jnp.broadcast_to(a[..., None, None],
+                                                   row.hi.shape), nrm),
+                row)
             rg = _dyn_set_row(rg, t, row)
             return Qfin, rg
 
         P0 = _rows(QT, p, p + block)
-        z = DF(jnp.zeros(batch + (block, n), jnp.float32),
-               jnp.zeros(batch + (block, n), jnp.float32))
-        rg0 = DF(jnp.zeros(batch + (block, block), jnp.float32),
-                 jnp.zeros(batch + (block, block), jnp.float32))
+        z = nm.zeros(batch + (block, n))
+        rg0 = nm.zeros(batch + (block, block))
         Qfin, rg = jax.lax.fori_loop(0, block, col_step, (z, rg0))
         QT = _set_rows(QT, p, p + block, Qfin)
-        rt = DF(rt.hi.at[..., p:p + block, p:p + block].set(rg.hi),
-                rt.lo.at[..., p:p + block, p:p + block].set(rg.lo))
+        rt = nm.cmap(
+            lambda r, g: r.at[..., p:p + block, p:p + block].set(g),
+            rt, rg)
     return _t(QT), _t(rt)

@@ -39,6 +39,8 @@ def main():
 
     import jax
     jax.config.update("jax_enable_x64", True)
+    from dqmc_tpu import compile_cache
+    compile_cache.enable()
     import jax.numpy as jnp
     from dqmc_tpu.ops import df32, df_linalg, linalg
 
