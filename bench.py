@@ -147,16 +147,21 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     return rate, err, acc
 
 
-def measured_throughput(n_walkers: int, reps: int, dtype_name: str):
+def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
+                        measure_prec: str = "engine"):
     """Full measured-iteration throughput: one equal-time sweep pair + the
     unequal-time triplet sweep with the fused per-tau measurement reduction
     + the equal-time measurement — the reference's per-sweep unit during the
-    measurement phase (main.cpp:156-165).  Returns (rate, err_uneq, acc)."""
+    measurement phase (main.cpp:156-165).  Returns (rate, err_uneq, acc).
+
+    measure_prec='tf32': the equal-time measurement G is rebuilt from the
+    fields at triple-float32 grade (<1e-10 vs exact — the north-star
+    parity tier, BASELINE.md) inside the same fused iteration."""
     import tempfile
 
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
-    if dtype_name == "float64":
+    if dtype_name == "float64" or measure_prec != "engine":
         jax.config.update("jax_enable_x64", True)
     from dqmc_tpu import compile_cache
     compile_cache.enable()
@@ -214,9 +219,20 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str):
         uneq_step = jax.jit(jax.vmap(
             lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
 
+    greens_fn = None
+    if measure_prec != "engine":
+        from dqmc_tpu.engine.parity import measurement_greens_fn
+        from dqmc_tpu.ops import df32 as nm_df32, tf32 as nm_tf32
+        model64 = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
+                                          nt=NT, dtype=jnp.float64)
+        greens_fn = measurement_greens_fn(
+            model64, cfg, nm_tf32 if measure_prec == "tf32" else nm_df32)
+        log(f"measurement tier: {measure_prec} equal-time G rebuild")
+
     # the production measured unit (run.py bin loop): sweep pair + uneq
     # sweep + measurements + accumulator adds, all inside ONE jitted scan
-    iter_fn, zero_acc = manager.make_measured_iter(sweep, uneq_step)
+    iter_fn, zero_acc = manager.make_measured_iter(sweep, uneq_step,
+                                                   greens_fn=greens_fn)
     inner = 2
 
     @jax.jit
@@ -366,6 +382,11 @@ def main():
                    help="benchmark the full measured iteration (sweep pair "
                         "+ unequal-time sweep + measurements) instead of "
                         "the bare sweep pair")
+    p.add_argument("--measure-precision", choices=("engine", "tf32", "df32"),
+                   default="engine",
+                   help="with --measured: rebuild the equal-time "
+                        "measurement G from the fields at this grade "
+                        "(tf32 = the <1e-10 north-star parity tier)")
     args = p.parse_args()
 
     L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
@@ -402,14 +423,17 @@ def main():
     # device context stay isolated from the primary measurement.
     if args.measured:
         rate, err, acc = measured_throughput(walkers, max(args.reps, 2),
-                                             args.dtype)
+                                             args.dtype,
+                                             args.measure_precision)
         baseline = (float("nan") if args.skip_baseline
                     or args.config != "headline" else cpu_baseline(args.remeasure_baseline))
         have_base = baseline == baseline and baseline > 0
+        tier = ("" if args.measure_precision == "engine"
+                else f", {args.measure_precision}-measured")
         print(json.dumps({
             "metric": f"measured sweeps/sec/chip ({L}x{L} beta={BETA} "
                       f"U={U} Hubbard, nt={NT}, {args.dtype}, {walkers} "
-                      f"walkers, uneq+measure fused)",
+                      f"walkers, uneq+measure fused{tier})",
             "value": round(rate, 3),
             "ok": True,
             "unit": "measured sweeps/s/chip",

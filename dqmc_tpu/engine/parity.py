@@ -1,21 +1,28 @@
-"""Parity-grade (df32) Green's-function rebuild at the engine level.
+"""Parity-grade multiword Green's-function rebuild at the engine level.
 
 Computes G(0,0) = [I + B(beta,0)]^{-1} for a FIXED field configuration
-with ~2^-46 numerics built entirely from f32 TPU hardware operations
-(ops/df_linalg) — the north-star parity quantity (BASELINE.md:
-max|dG| < 1e-10 vs the reference on a fixed field configuration).
+with multiword numerics built entirely from f32 TPU hardware operations
+(ops/df_linalg with nm=df32 or nm=tf32) — the north-star parity
+quantity (BASELINE.md: max|dG| < 1e-10 vs the reference on a fixed
+field configuration).
 
-Current role: validation and spot-checking.  A production df32 sweep
-needs the df CGS2 Pallas kernel (NOTES.md roadmap); this module defines
-the exact semantics that kernel must reproduce, and gives users an
-on-demand parity probe for any field configuration produced by the fast
-f32 engine.  Pass the f64-BUILT twin of the running model (so expK
-carries its full scipy-computed precision)::
+Tiers (fixed-field chain error vs 100-digit mpmath gold, beta=8, n=64,
+nt=80 — tests/test_tf_linalg.py pins the same at CPU-test size):
+
+    nm=df32   ~1e-8     sampling-grade parity (2 orders below the
+                        reference's own 1e-6 stabilization warning)
+    nm=tf32   ~1e-11    BELOW the f64 stabilized chain's own 6.7e-10 —
+                        the measurement-grade tier that closes the
+                        <1e-10 north star
+
+Pass the f64-BUILT twin of the running model (so expK carries its full
+scipy-computed precision)::
 
     m64 = AttractiveHubbard.build(lat, U=U, t=t, mu=mu, beta=beta,
                                   nt=nt, dtype=jnp.float64)
-    G_df, log_det = parity_rebuild_greens(m64, cfg, state.fields)
-    err = jnp.max(jnp.abs(G_df.hi - state.G[0]))   # f32-chain deviation
+    G_tf, log_det = parity_rebuild_greens(m64, cfg, state.fields,
+                                          nm=tf32)
+    err = jnp.max(jnp.abs(G_tf.hi - state.G[0]))   # f32-chain deviation
 """
 
 from __future__ import annotations
@@ -27,14 +34,13 @@ import jax.numpy as jnp
 from dqmc_tpu import hsfield
 from dqmc_tpu.engine.state import EngineConfig
 from dqmc_tpu.ops import df32, df_linalg
-from dqmc_tpu.ops.df32 import DF
 
 
 def _maybe_jit(f):
     """jit on accelerators; eager on CPU.
 
     XLA:CPU's backend codegen at optimization level > 0 corrupts fused
-    double-float graphs: the identical fold chain measures 1.1e-8 eager
+    multiword graphs: the identical fold chain measures 1.1e-8 eager
     vs 5.4e-4 jitted on CPU (LLVM-level contraction/reassociation across
     the fused error-free transformations; --xla_backend_optimization_level=0
     restores 1.3e-8).  TPU compiles the same graphs bit-stably (eager ==
@@ -57,64 +63,145 @@ def _expv_table_f64(model) -> np.ndarray:
     return np.exp(g * eta)
 
 
-def _slice_B_df(model, expK: DF, fields_l: jax.Array) -> DF:
-    """df B_l = diag(expV(s_l)) @ expK (model.cpp:75-80 semantics).
+def _slice_B(model, expK, fields_l: jax.Array, nm):
+    """Multiword B_l = diag(expV(s_l)) @ expK (model.cpp:75-80 semantics).
 
-    The diagonal scaling must be a FULL df multiply (two_prod on the hi
-    parts): a plain ``hi*hi`` product drops its own rounding error, which
-    caps every B at 2^-24 relative and with it the whole parity tier.
-    Select-chain over the 4 field values, not a gather (NOTES.md: tiny
-    jnp table gathers lower to element-at-a-time XLA gathers)."""
-    tbl = _expv_table_f64(model)
-    evh = jnp.zeros(fields_l.shape, jnp.float32)
-    evl = jnp.zeros(fields_l.shape, jnp.float32)
-    for v in range(4):
-        h = np.float32(tbl[v])
-        l = np.float32(tbl[v] - np.float64(h))
-        evh = jnp.where(fields_l == v, h, evh)
-        evl = jnp.where(fields_l == v, l, evl)
-    ev = DF(evh[..., :, None], evl[..., :, None])
-    return df32.mul(expK, ev)
+    The diagonal scaling must be a FULL multiword multiply (a plain
+    ``hi*hi`` product drops its own rounding error, which caps every B
+    at 2^-24 relative and with it the whole parity tier).  Select-chain
+    over the 4 field values, not a gather (NOTES.md: tiny jnp table
+    gathers lower to element-at-a-time XLA gathers)."""
+    tbl = nm.from_f64(jnp.asarray(_expv_table_f64(model)))   # (4,)
+
+    def sel(comp):
+        out = jnp.zeros(fields_l.shape, jnp.float32)
+        for v in range(4):
+            out = jnp.where(fields_l == v, comp[v], out)
+        return out
+
+    ev = nm.cmap(sel, tbl)
+    ev = nm.cmap(lambda c: c[..., :, None], ev)
+    return nm.mul(expK, ev)
 
 
-def parity_rebuild_greens(model, cfg: EngineConfig, fields: jax.Array):
-    """(G as DF pair (ns, ns), log_det) for one walker's field config.
-
-    Single flavor (the attractive model); the chain runs the dag
-    (transpose-suffix) fold exactly like engine.sweep's rebuild
-    (dqmc.cpp:43-72), block products dense in df, one df QR per block.
-    """
+def _check_model(model):
     if model.n_flavor != 1:
         raise NotImplementedError("parity rebuild: single flavor only")
     if model.expK.dtype != jnp.float64:
         raise ValueError("parity rebuild needs the f64-built model twin "
                          "(expK at full precision); build with "
                          "dtype=jnp.float64")
-    ns = model.n_sites
-    expK = df32.from_f64(model.expK)
 
-    @_maybe_jit
+
+def rebuild_chain(model, cfg: EngineConfig, fields: jax.Array, nm=df32,
+                  *, _wrap=lambda f: f, use_scan: bool | None = None):
+    """Pure multiword chain rebuild: fields (nt, ns) -> (G, log_det).
+
+    jit/vmap-safe (fixed trip counts, no data-dependent control flow);
+    callers jit/vmap the whole thing.  ``_wrap`` optionally wraps each
+    stage (parity_rebuild_greens passes per-piece jit for the
+    interactive probe path).
+
+    ``use_scan`` (auto when None: on iff nt % n_stab == 0 and _wrap is
+    identity): the fold loop runs as ONE ``lax.scan`` body instead of an
+    unrolled chain — each multiword matmul lowers to 28-55 int8 MXU
+    dots, so an unrolled 32-fold chain is a 100k-op HLO that XLA chews
+    on for minutes, while the scan compiles a single fold.  Seeded with
+    an identity LDR (the Ozaki matmul is exact on identity operands, so
+    fold #1 through mat_mul_ldr is numerically identical to a bare
+    to_ldr — verified by tests/test_parity.py's gold pin, which runs
+    the scan path).
+    """
+    ns = model.n_sites
+    expK = nm.from_f64(model.expK)
+    if use_scan is None:
+        use_scan = cfg.nt % cfg.n_stab == 0
+
     def block_product(fields_blk):
-        Bbar = df32.df(jnp.eye(ns, dtype=jnp.float32))
+        Bbar = nm.df(jnp.eye(ns, dtype=jnp.float32))
         n_blk = fields_blk.shape[0]
         for i in range(n_blk):
-            B = _slice_B_df(model, expK, fields_blk[i])
-            Bbar = df32.matmul(B, Bbar)
+            B = _slice_B(model, expK, fields_blk[i], nm)
+            Bbar = nm.matmul(B, Bbar)
         return Bbar
 
-    fold = _maybe_jit(lambda BbarT, F: df_linalg.mat_mul_ldr(BbarT, F))
-    first = _maybe_jit(df_linalg.to_ldr)
-    inv = _maybe_jit(df_linalg.inv_one_plus_ldr_dag)
+    inv = _wrap(
+        lambda F1, F2t: df_linalg.inv_one_plus_ldr_dag(F1, F2t, nm=nm))
+    eye = nm.df(jnp.eye(ns, dtype=jnp.float32))
 
-    F2t = None
-    for i_stack in range(cfg.n_stack - 1, -1, -1):
-        l0 = i_stack * cfg.n_stab
-        l1 = min(l0 + cfg.n_stab, cfg.nt)
-        Bbar = block_product(fields[l0:l1])
-        BbarT = df_linalg.transpose(Bbar)
-        F2t = first(BbarT) if F2t is None else fold(BbarT, F2t)
+    if use_scan:
+        # dag (transpose-suffix) order: latest block first
+        blocks = fields[:cfg.n_stack * cfg.n_stab].reshape(
+            cfg.n_stack, cfg.n_stab, -1)[::-1]
+        F0 = df_linalg.LDRdf(eye, nm.df(jnp.ones(ns, jnp.float32)),
+                             nm.df(jnp.eye(ns, dtype=jnp.float32)))
 
-    eye = df32.df(jnp.eye(ns, dtype=jnp.float32))
-    F1 = first(eye)
-    G, log_det = inv(F1, F2t)
-    return G, log_det
+        def body(F, fields_blk):
+            BbarT = df_linalg.transpose(block_product(fields_blk))
+            return df_linalg.mat_mul_ldr(BbarT, F, nm=nm), None
+
+        F2t, _ = jax.lax.scan(body, F0, blocks)
+    else:
+        bp = _wrap(block_product)
+        fold = _wrap(
+            lambda BbarT, F: df_linalg.mat_mul_ldr(BbarT, F, nm=nm))
+        first = _wrap(lambda M: df_linalg.to_ldr(M, nm=nm))
+        F2t = None
+        for i_stack in range(cfg.n_stack - 1, -1, -1):
+            l0 = i_stack * cfg.n_stab
+            l1 = min(l0 + cfg.n_stab, cfg.nt)
+            Bbar = bp(fields[l0:l1])
+            BbarT = df_linalg.transpose(Bbar)
+            F2t = first(BbarT) if F2t is None else fold(BbarT, F2t)
+
+    F1 = df_linalg.to_ldr(eye, nm=nm) if use_scan else _wrap(
+        lambda M: df_linalg.to_ldr(M, nm=nm))(eye)
+    return inv(F1, F2t)
+
+
+def parity_rebuild_greens(model, cfg: EngineConfig, fields: jax.Array,
+                          nm=df32):
+    """(G as an nm tuple (ns, ns), log_det) for one walker's fields.
+
+    Single flavor (the attractive model); the chain runs the dag
+    (transpose-suffix) fold exactly like engine.sweep's rebuild
+    (dqmc.cpp:43-72), block products dense multiword, one multiword QR
+    per block.  nm=df32 for the sampling tier, nm=tf32 for the
+    <1e-10 measurement tier.
+    """
+    _check_model(model)
+    # per-piece jit + unrolled loop: on CPU each piece runs eagerly
+    # (the XLA:CPU hazard), on accelerators each piece compiles once
+    return rebuild_chain(model, cfg, fields, nm, _wrap=_maybe_jit,
+                         use_scan=False)
+
+
+def measurement_greens_fn(model64, cfg: EngineConfig, nm, *,
+                          symmetric: bool = False):
+    """Batched measurement-grade Green's-function rebuild.
+
+    Returns ``greens_fn(states) -> G (W, 1, ns, ns) f64`` for
+    measure.manager.make_measured_iter: the equal-time G handed to the
+    observables is rebuilt from the walker's field configuration at nm
+    precision (nm=tf32: <1e-10 vs exact — BELOW the f64 grade the
+    reference itself measures at), independent of the sampling engine's
+    working precision.  ``symmetric`` applies the half-warp
+    G~ = e^{+dtau K/2} G e^{-dtau K/2} (dqmc.cpp:288-315) in multiword,
+    so the Trotter basis change does not truncate the tier.
+
+    Requires jax_enable_x64 (the f64 model twin and the f64 return);
+    pure — callers jit it (it runs inside the fused measured iteration).
+    """
+    _check_model(model64)
+    # engine.sweep.half_warp convention: G~ = invexpK_half @ G @ expK_half
+    # (invexpK_half IS expm(+dtau K/2); expK = expm(-dtau K))
+    left = nm.from_f64(model64.invexpK_half)
+    right = nm.from_f64(model64.expK_half)
+
+    def one(fields):
+        G, _ = rebuild_chain(model64, cfg, fields, nm)
+        if symmetric:
+            G = nm.matmul(nm.matmul(left, G), right)
+        return nm.to_f64(G)[None]                   # flavor axis
+
+    return lambda states: jax.vmap(one)(states.fields)

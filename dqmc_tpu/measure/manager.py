@@ -187,8 +187,15 @@ class MeasurementManager:
     # ------------------------------------------------------------------
 
     def make_measured_iter(self, sweep_fn, uneq_step=None, *, warp_fn=None,
-                           signed: bool = False):
+                           signed: bool = False, greens_fn=None):
         """Build the pure measured-iteration function.
+
+        ``greens_fn(states) -> (W, nfl, ns, ns)``, when given, replaces
+        ``states.G`` as the equal-time measurement input — the
+        measurement-precision tier (engine.parity.measurement_greens_fn
+        rebuilds G from the fields at tf32 grade, <1e-10).  It must
+        return the FINAL measurement-basis G (apply any symmetric-Trotter
+        half-warp itself); ``warp_fn`` is ignored alongside it.
 
         Returns ``(iter_fn, zero_acc)``:
 
@@ -221,7 +228,10 @@ class MeasurementManager:
                 for name, v in ys.items():
                     out[("uneq", name)] = v
                 out[("meta", "err_uneq_max")] = jnp.max(err_u)
-            G = warp_fn(states.G) if warp_fn is not None else states.G
+            if greens_fn is not None:
+                G = greens_fn(states)
+            else:
+                G = warp_fn(states.G) if warp_fn is not None else states.G
             signs = (states.sign if signed
                      else jnp.ones((G.shape[0],), G.dtype))
             for key, v in eq_measure(G, signs).items():

@@ -24,7 +24,13 @@ Config schema (superset of the reference's, SURVEY.md section 5):
                        hybrid double-float32 parity engine: ~1e-8
                        fixed-field Green's-function accuracy from f32
                        hardware ops at ~1/9 the f32 mode's throughput,
-                       ~28x the f64-emulation mode's)
+                       ~28x the f64-emulation mode's),
+                       measure_precision (engine|tf32|df32, default engine:
+                       tf32 rebuilds the MEASURED equal-time Green's
+                       function from the fields in triple-float32 —
+                       <1e-10 vs exact, below the f64 grade the reference
+                       itself measures at — independent of the sampling
+                       dtype; single-flavor models only)
   [walkers]            n_walkers (default 1),
                        n_devices (0 = all visible devices, 1 = no sharding)
   [ParallelTempering]  enabled (default false), sweep_steps, betas
@@ -226,6 +232,15 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         return run_parallel_tempering(params, out_dir=out_dir, verbose=verbose)
 
     dtype, df_mode = _resolve_dtype(params)
+    measure_prec = params.get_str("simulation", "measure_precision",
+                                  "engine")
+    if measure_prec not in ("engine", "tf32", "df32"):
+        raise ValueError(f"[simulation] measure_precision must be engine, "
+                         f"tf32 or df32, got {measure_prec!r}")
+    if measure_prec != "engine":
+        # the f64 model twin and the f64 measurement G need real f64
+        # arrays; the sampling engine keeps its own (f32/df32) dtypes
+        jax.config.update("jax_enable_x64", True)
     n_sweeps = params.get_int("simulation", "n_sweeps")
     n_therms = params.get_int("simulation", "n_therms")
     n_bins = params.get_int("simulation", "n_bins")
@@ -466,10 +481,21 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     # sweep).
     err_uneq_max = 0.0
     t0 = time.perf_counter()
+    greens_fn = None
+    if measure_prec != "engine":
+        from dqmc_tpu.engine.parity import measurement_greens_fn
+        from dqmc_tpu.ops import df32 as _nm_df32, tf32 as _nm_tf32
+        nm_meas = _nm_tf32 if measure_prec == "tf32" else _nm_df32
+        model64 = model_cls.from_params(params, lat, dtype=jnp.float64)
+        greens_fn = measurement_greens_fn(model64, cfg, nm_meas,
+                                          symmetric=symmetric)
+        log(f"Measurement tier: equal-time G rebuilt at {measure_prec} "
+            f"({'<1e-10' if measure_prec == 'tf32' else '~1e-8'} "
+            f"fixed-field accuracy)")
     iter_fn, zero_acc = manager.make_measured_iter(
         step, uneq_step if (uneq and uneq_fn is not None) else None,
-        warp_fn=warp if symmetric else None,
-        signed=model.det_power == 1)
+        warp_fn=warp if (symmetric and greens_fn is None) else None,
+        signed=model.det_power == 1, greens_fn=greens_fn)
 
     @jax.jit
     def bin_fn(states, acc):

@@ -1,0 +1,85 @@
+"""The measurement-precision tier ([simulation] measure_precision):
+equal-time observables measured from a multiword Green's-function
+rebuild instead of the engine's working G.
+
+Same seed -> identical sampled trajectory (the tier only changes what
+the measurement sees), so the binned observables of a tf32-measured run
+must agree with the engine-measured run to the engine G's own accuracy
+— a tight cross-check of the whole plumbing (run.py greens_fn ->
+manager.make_measured_iter -> h5 output).
+
+CPU caveat: inside the jitted measured iteration the multiword graphs
+are exposed to the XLA:CPU reassociation hazard (ops/df_linalg.py doc),
+so CPU agreement is asserted at 1e-3; the tier's real (<1e-10) grade is
+pinned eagerly in tests/test_parity.py / test_tf_linalg.py and measured
+on TPU.
+"""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from dqmc_tpu.config import Parameters  # noqa: E402
+from dqmc_tpu.run import run_simulation  # noqa: E402
+
+BASE = """
+[Lattice]
+L1 = 4
+L2 = 4
+[hubbard]
+U = 4.0
+t = 1.0
+mu = -0.1
+[simulation]
+beta = 2.0
+nt = 8
+n_therms = 6
+n_sweeps = 3
+n_bins = 2
+n_stab = 2
+symmetric = {symmetric}
+isMeasureUnequalTime = false
+seed = 17
+dtype = float32
+{extra}
+[walkers]
+n_walkers = 2
+"""
+
+
+def _run(tmp_path, name, symmetric, extra):
+    d = tmp_path / name
+    d.mkdir()
+    params = Parameters.from_string(
+        BASE.format(symmetric=symmetric, extra=extra))
+    run_simulation(params, out_dir=str(d / "results"), verbose=False)
+    out = {}
+    with h5py.File(d / "results" / "data_0.h5") as f:
+        for b in range(2):
+            for k in f[f"/bin_{b}/scalar"]:
+                out[(b, k)] = float(np.asarray(f[f"/bin_{b}/scalar/{k}"]))
+    return out
+
+
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_tf32_measure_matches_engine_trajectory(tmp_path, symmetric):
+    eng = _run(tmp_path, f"eng{symmetric}", symmetric, "")
+    tf = _run(tmp_path, f"tf{symmetric}", symmetric,
+              "measure_precision = tf32")
+    assert eng.keys() == tf.keys()
+    for k in eng:
+        # identical trajectory; difference = engine-G error (f32 ~1e-5
+        # at beta=2) + the CPU-jit multiword hazard margin
+        assert abs(eng[k] - tf[k]) < 1e-3, (k, eng[k], tf[k])
+
+
+def test_measure_precision_rejects_bad_value(tmp_path):
+    with pytest.raises(ValueError):
+        params = Parameters.from_string(
+            BASE.format(symmetric="false",
+                        extra="measure_precision = nonsense"))
+        run_simulation(params, out_dir=str(tmp_path / "r"), verbose=False)

@@ -35,7 +35,14 @@ def main():
     p.add_argument("--beta", type=float, default=8.0)
     p.add_argument("--n-stab", type=int, default=5)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--nm", choices=("df32", "tf32"), default="df32",
+                   help="multiword tier to probe (tf32 = the <1e-10 "
+                        "parity++ tier; its error vs the f64 chain is "
+                        "dominated by the F64 CHAIN'S OWN ~6.7e-10 error "
+                        "at beta=8 — see tests/test_tf_linalg.py)")
     args = p.parse_args()
+
+    import functools
 
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -43,6 +50,10 @@ def main():
     compile_cache.enable()
     import jax.numpy as jnp
     from dqmc_tpu.ops import df32, df_linalg, linalg
+    if args.nm == "tf32":
+        from dqmc_tpu.ops import tf32 as nm
+    else:
+        nm = df32
 
     sys.path.insert(0, "tests")
     from test_df_linalg import _b_chain, _stab64_suffix
@@ -55,9 +66,9 @@ def main():
     # there; one compile each, then ~ms dispatches).  On CPU stay eager
     # (the LLVM contraction bug corrupts jitted df chains).
     on_cpu = jax.default_backend() == "cpu"
-    fold_first = df_linalg.to_ldr if on_cpu else jax.jit(df_linalg.to_ldr)
-    fold_next = (df_linalg.mat_mul_ldr if on_cpu
-                 else jax.jit(df_linalg.mat_mul_ldr))
+    jj = (lambda f: f) if on_cpu else jax.jit
+    fold_first = jj(functools.partial(df_linalg.to_ldr, nm=nm))
+    fold_next = jj(functools.partial(df_linalg.mat_mul_ldr, nm=nm))
 
     # f64 stabilized oracle
     F64 = _stab64_suffix(Bs, args.n_stab)
@@ -66,10 +77,10 @@ def main():
     G64 = np.asarray(G64)
 
     def df_from64(x):
-        return df32.from_f64(jnp.asarray(x, jnp.float64))
+        return nm.from_f64(jnp.asarray(x, jnp.float64))
 
     def to64(x):
-        return np.asarray(df32.to_f64(x))
+        return np.asarray(nm.to_f64(x))
 
     def df_chain(n_fold, track_cond=False):
         """Transpose-suffix df chain folding every n_fold slices."""
@@ -87,8 +98,8 @@ def main():
             else:
                 if track_cond:
                     # the equilibrated QR input of this fold
-                    BL = df32.matmul(T, F2t.L)
-                    Bd = df32.mul(BL, df_linalg._bcast_row(
+                    BL = nm.matmul(T, F2t.L)
+                    Bd = nm.mul(BL, df_linalg._bcast_row(
                         F2t.d, BL.hi.shape))
                     A = to64(Bd)
                     s = np.abs(A).max(axis=0)
@@ -96,11 +107,10 @@ def main():
                 F2t = fold_next(T, F2t)
         return F2t, conds
 
-    inv_dag = (df_linalg.inv_one_plus_ldr_dag if on_cpu
-               else jax.jit(df_linalg.inv_one_plus_ldr_dag))
+    inv_dag = jj(functools.partial(df_linalg.inv_one_plus_ldr_dag, nm=nm))
 
     def solve_df(F2t):
-        F1 = fold_first(df32.df(jnp.eye(n, dtype=jnp.float32)))
+        F1 = fold_first(nm.df(jnp.eye(n, dtype=jnp.float32)))
         G, _ = inv_dag(F1, F2t)
         return to64(G)
 
@@ -113,7 +123,8 @@ def main():
         return np.asarray(G)
 
     print(f"workload: n={n} nt={args.nt} beta={args.beta} "
-          f"n_stab={args.n_stab}  (oracle: f64 stabilized chain)")
+          f"n_stab={args.n_stab} nm={args.nm}  (oracle: f64 stabilized "
+          f"chain — itself only ~6.7e-10-accurate at beta=8!)")
     for n_fold in (args.n_stab, 2, 1):
         t0 = time.time()
         F2t, conds = df_chain(n_fold, track_cond=True)
