@@ -177,7 +177,8 @@ def parity_rebuild_greens(model, cfg: EngineConfig, fields: jax.Array,
 
 
 def measurement_greens_fn(model64, cfg: EngineConfig, nm, *,
-                          symmetric: bool = False):
+                          symmetric: bool = False,
+                          n_stab: int | None = None):
     """Batched measurement-grade Green's-function rebuild.
 
     Returns ``greens_fn(states) -> G (W, 1, ns, ns) f64`` for
@@ -189,10 +190,23 @@ def measurement_greens_fn(model64, cfg: EngineConfig, nm, *,
     G~ = e^{+dtau K/2} G e^{-dtau K/2} (dqmc.cpp:288-315) in multiword,
     so the Trotter basis change does not truncate the tier.
 
-    Requires jax_enable_x64 (the f64 model twin and the f64 return);
-    pure — callers jit it (it runs inside the fused measured iteration).
+    ``n_stab`` is the REBUILD's fold stride, independent of the sampling
+    engine's: tf32's precision headroom tolerates a wider stride (fewer
+    multiword QRs — they dominate the rebuild's cost).  Default for tf32
+    is 2x the engine stride: at beta=8 that measures 3.7e-11 vs gold
+    (vs 8.5e-12 at 1x — still 2.7x under the 1e-10 target, and cross-
+    checked stride-5-vs-10 at the 16x16 headline shape on TPU); 4x blows
+    the fold-input condition past the tier (1.6e-8 measured).  df32
+    keeps the engine stride (its tier has no headroom).
     """
     _check_model(model64)
+    if n_stab is None:
+        from dqmc_tpu.ops import tf32 as _tf32
+        n_stab = 2 * cfg.n_stab if nm is _tf32 else cfg.n_stab
+    if cfg.nt % n_stab != 0:
+        n_stab = cfg.n_stab                      # keep exact blocking
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, n_stab=n_stab)
     # engine.sweep.half_warp convention: G~ = invexpK_half @ G @ expK_half
     # (invexpK_half IS expm(+dtau K/2); expK = expm(-dtau K))
     left = nm.from_f64(model64.invexpK_half)

@@ -211,13 +211,19 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32):
         r = nm.sub(Y, nm.matmul(Mdf, X))
         X = nm.add(X, nm.df(f32_solve(r.hi)))
 
-    # log|det M|: the f32 diag(R) carries only ~2^-23 relative (log error
-    # ~1e-7), so refine the diagonal via R' = Q^T M in multiword (one
-    # matmul; Q's orthogonality defect enters the log only at second
-    # order)
+    # log|det M| = log|det R'| - log|det Q| with R' = Q^T M refined in
+    # multiword (one matmul; the f32 diag(R) alone carries only ~2^-23).
+    # det Q is NOT 1 at f32-CGS2 grade: Q^T Q = I + E with E ~ 1e-5, and
+    # log|det Q| = 0.5 log det(I+E) = 0.5 tr(E) + O(||E||^2) — a FIRST-
+    # order bias (~1e-4 absolute on a 256-site chain, measured) that the
+    # old "second order" assumption silently kept.  E is computed in
+    # multiword (an f32 Q^T Q would bury E under its own rounding).
+    Qnm = nm.df(Q)
     Rref = nm.matmul(nm.df(QT32), Mdf)
     diag = _diag(Rref)
-    logabs = jnp.sum(jnp.log(jnp.abs(nm.to_f64(diag))), axis=-1)
+    E_diag = _diag(nm.matmul(nm.df(QT32), Qnm))
+    log_q = 0.5 * jnp.sum(nm.to_f64(E_diag) - 1.0, axis=-1)
+    logabs = (jnp.sum(jnp.log(jnp.abs(nm.to_f64(diag))), axis=-1) - log_q)
     return X, logabs
 
 

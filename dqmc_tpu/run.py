@@ -487,8 +487,10 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         from dqmc_tpu.ops import df32 as _nm_df32, tf32 as _nm_tf32
         nm_meas = _nm_tf32 if measure_prec == "tf32" else _nm_df32
         model64 = model_cls.from_params(params, lat, dtype=jnp.float64)
-        greens_fn = measurement_greens_fn(model64, cfg, nm_meas,
-                                          symmetric=symmetric)
+        meas_stab = params.get_int("simulation", "measure_n_stab", 0)
+        greens_fn = measurement_greens_fn(
+            model64, cfg, nm_meas, symmetric=symmetric,
+            n_stab=meas_stab if meas_stab > 0 else None)
         log(f"Measurement tier: equal-time G rebuilt at {measure_prec} "
             f"({'<1e-10' if measure_prec == 'tf32' else '~1e-8'} "
             f"fixed-field accuracy)")
