@@ -197,10 +197,18 @@ def _batched_update_kernel(k_delay, scal_ref, ga_ref, order_ref, props_ref,
         @pl.when(slot == k_delay - 1)
         def _flush():
             dn = (((1,), (1,)), ((0,), (0,)))  # contract k, batch WB
+            # HIGHEST is load-bearing: Mosaic's DEFAULT dot truncates f32
+            # operands to bf16 on the MXU, and a ~1e-2-relative flush error
+            # on G flips marginal Metropolis decisions (measured on-chip:
+            # k_delay=32 chains diverge from the rank-1 scan under DEFAULT,
+            # match under HIGHEST; interpret mode cannot see this).
+            hp = jax.lax.Precision.HIGHEST
             g_ref[...] += jax.lax.dot_general(
-                ut_ref[...], v_ref[...], dn, preferred_element_type=dtype)
+                ut_ref[...], v_ref[...], dn, preferred_element_type=dtype,
+                precision=hp)
             gt_ref[...] += jax.lax.dot_general(
-                v_ref[...], ut_ref[...], dn, preferred_element_type=dtype)
+                v_ref[...], ut_ref[...], dn, preferred_element_type=dtype,
+                precision=hp)
             ut_ref[...] = jnp.zeros_like(ut_ref)
             v_ref[...] = jnp.zeros_like(v_ref)
 
@@ -309,14 +317,22 @@ def _batched_update_kernel_2f(k_delay, scal_ref, ga_ref, order_ref,
         @pl.when(slot == k_delay - 1)
         def _flush():
             dn = (((1,), (1,)), ((0,), (0,)))
+            # HIGHEST for the same reason as the 1-flavor kernel: DEFAULT
+            # truncates the U/V operands to bf16 on the MXU and the flush
+            # error flips marginal accept decisions on-chip.
+            hp = jax.lax.Precision.HIGHEST
             gu_ref[...] += jax.lax.dot_general(
-                utu_ref[...], vu_ref[...], dn, preferred_element_type=dtype)
+                utu_ref[...], vu_ref[...], dn, preferred_element_type=dtype,
+                precision=hp)
             gtu_ref[...] += jax.lax.dot_general(
-                vu_ref[...], utu_ref[...], dn, preferred_element_type=dtype)
+                vu_ref[...], utu_ref[...], dn, preferred_element_type=dtype,
+                precision=hp)
             gd_ref[...] += jax.lax.dot_general(
-                utd_ref[...], vd_ref[...], dn, preferred_element_type=dtype)
+                utd_ref[...], vd_ref[...], dn, preferred_element_type=dtype,
+                precision=hp)
             gtd_ref[...] += jax.lax.dot_general(
-                vd_ref[...], utd_ref[...], dn, preferred_element_type=dtype)
+                vd_ref[...], utd_ref[...], dn, preferred_element_type=dtype,
+                precision=hp)
             for ref in (utu_ref, vu_ref, utd_ref, vd_ref):
                 ref[...] = jnp.zeros_like(ref)
 

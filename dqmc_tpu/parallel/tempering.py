@@ -415,6 +415,8 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     log(f"Average acceptance rate = {acc_rate:.4f}")
     log(f"Max, Mean Precision Error (steady-state) = {err_max:.4e}, {err_mean:.4e}")
     log(f"Parallel tempering exchange rate = {exchange_rate:.4f}")
+    log(f"Measurement phase: {dt_meas:.2f} s for {total} sweeps x {R} "
+        f"replicas = {sweeps_per_sec:.2f} replica-sweeps/s")
 
     return RunSummary(
         n_walkers=R, n_bins=n_bins, n_sweeps=n_sweeps,

@@ -13,6 +13,21 @@ accept/reject decisions as long as no |R|-u margin falls inside f32
 rounding; across a full chain a single boundary flip would cascade.  Runs
 three slices from different keys to cover the decision space.
 
+G is a PHYSICAL equal-time Green's function (stable rebuild from a random
+field configuration), not a random matrix: the delayed-update algebra
+amplifies rounding by 1/r_flv per accepted move, and synthetic G matrices
+place r_flv arbitrarily close to zero where no tolerance is meaningful
+(observed 1.5 absolute deviation on-chip with identical decisions on
+random inputs).  On physical states the acceptance factors are bounded
+and the f32 envelope below is tight.
+
+History: this check caught a real Mosaic-only miscompile class — the
+flush dot_generals ran at DEFAULT precision, which truncates f32 operands
+to bf16 on the MXU, flipping marginal Metropolis decisions (ndiff 1-7 per
+slice at k_delay=32, 1-flavor kernel equally affected).  Interpret-mode
+CPU tests can never see this; the fix pins Precision.HIGHEST on the
+flushes (ops/kernels.py).
+
 Exits non-zero on mismatch (tpu_checklist step).
 """
 
@@ -29,7 +44,10 @@ def main():
     import jax.numpy as jnp
     from dqmc_tpu import compile_cache
     compile_cache.enable()
-    from dqmc_tpu.engine.sweep import draw_slice_randoms, local_update_core
+    from dqmc_tpu import hsfield
+    from dqmc_tpu.engine.state import EngineConfig
+    from dqmc_tpu.engine.sweep import (draw_slice_randoms, local_update_core,
+                                       rebuild_stack_and_greens)
     from dqmc_tpu.lattice import square_lattice
     from dqmc_tpu.models import RepulsiveHubbard
     from dqmc_tpu.ops.kernels import pallas_site_update_2f
@@ -42,19 +60,22 @@ def main():
 
     lat = square_lattice(8, 8)
     ns = lat.n_sites
-    m = RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.5, beta=4.0, nt=40,
+    nt = 40
+    m = RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.5, beta=4.0, nt=nt,
                                dtype=jnp.float32)
-    rng = np.random.default_rng(5)
+    cfg = EngineConfig(nt=nt, n_stab=5)
 
     kernel = jax.jit(lambda k, G, f: pallas_site_update_2f(m, k, G, f))
     scan = jax.jit(lambda G, f, o, p, u: local_update_core(m, G, f, o, p, u))
+    greens = jax.jit(
+        lambda f: rebuild_stack_and_greens(m, cfg, f)[1])
 
     n_acc_total = 0
     for trial in range(3):
-        G = jnp.asarray(rng.standard_normal((2, ns, ns)) * 0.25
-                        + 0.5 * np.eye(ns), jnp.float32)
-        fl = jnp.asarray(rng.integers(0, 4, (ns,)), jnp.int32)
         key = jax.random.PRNGKey(100 + trial)
+        fields = hsfield.init_fields(jax.random.fold_in(key, 7), nt, ns)
+        G = greens(fields)           # physical G(0,0) for this config
+        fl = fields[0]
 
         Gk, fk, ak, sk = kernel(key, G, fl)
         order, props, us = draw_slice_randoms(key, ns, jnp.float32)
@@ -71,9 +92,43 @@ def main():
         assert fields_equal, "field decisions diverged on TPU"
         assert acc_k == acc_s, "acceptance counts diverged"
         assert sgn_equal, "Metropolis sign diverged"
-        assert g_err < 5e-4, f"G deviation {g_err} above f32 envelope"
+        # the bitwise contract is the DECISIONS (above); G deviation is
+        # f32 rounding amplified by delta/r_flv per accepted move (a few
+        # e-4 typical, ~3e-3 when a move lands near r_flv ~ 0.1) and is
+        # repaired by the next stabilization rebuild every n_stab slices
+        assert g_err < 1e-2, f"G deviation {g_err} above f32 envelope"
     assert n_acc_total > 30, "too few accepted moves to be meaningful"
-    print('{"ok": true, "check": "2f kernel TPU chain equivalence"}')
+
+    # same contract for the 1-FLAVOR per-slice kernel (it shares the
+    # delayed-update/flush machinery and was equally affected by the
+    # DEFAULT-precision miscompile)
+    from dqmc_tpu.models import AttractiveHubbard
+    from dqmc_tpu.ops.kernels import pallas_site_update
+
+    m1 = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=4.0,
+                                 nt=nt, dtype=jnp.float32)
+    kernel1 = jax.jit(lambda k, G, f: pallas_site_update(m1, k, G, f))
+    scan1 = jax.jit(
+        lambda G, f, o, p, u: local_update_core(m1, G, f, o, p, u))
+    greens1 = jax.jit(lambda f: rebuild_stack_and_greens(m1, cfg, f)[1])
+    for trial in range(2):
+        key = jax.random.PRNGKey(200 + trial)
+        fields = hsfield.init_fields(jax.random.fold_in(key, 7), nt, ns)
+        G = greens1(fields)
+        fl = fields[0]
+        Gk, fk, ak = kernel1(key, G, fl)[:3]
+        order, props, us = draw_slice_randoms(key, ns, jnp.float32)
+        Gs, fs, as_, _ = scan1(G, fl, order, props, us)
+        fields_equal = bool((np.asarray(fk) == np.asarray(fs)).all())
+        g_err = float(np.abs(np.asarray(Gk) - np.asarray(Gs)).max())
+        print(f"1f trial {trial}: fields_equal={fields_equal} "
+              f"max|dG|={g_err:.2e} acc={float(ak):.4f}/{float(as_):.4f}",
+              file=sys.stderr)
+        assert fields_equal, "1f field decisions diverged on TPU"
+        assert float(ak) == float(as_), "1f acceptance diverged"
+        assert g_err < 1e-2, f"1f G deviation {g_err}"
+
+    print('{"ok": true, "check": "1f+2f kernel TPU chain equivalence"}')
 
 
 if __name__ == "__main__":
