@@ -36,6 +36,14 @@ class EngineConfig:
     # Markov chain, identical accept/reject stream — only the linear
     # algebra is reorganized onto the MXU; see sweep.local_update_slice).
     delay_rank: int = 0
+    # Submatrix-update rank: like delay_rank, the exact same sequential
+    # Markov chain, but decisions run on the k x k submatrix G[I, I] of
+    # the block's candidate sites through a bordered Woodbury inverse —
+    # O(k^2) sequential work per site instead of the delayed scheme's
+    # O(k ns) effective-row formation (sweep.local_update_slice_submatrix;
+    # the BASELINE stretch configuration's update scheme for L >= 32).
+    # Takes precedence over delay_rank.
+    submatrix_rank: int = 0
     # Run the Metropolis site loop as one VMEM-resident Pallas program per
     # walker (ops/kernels.py) — same Markov chain, ~2x faster than the scan
     # on TPU.  Takes precedence over delay_rank; single-flavor models only.
@@ -54,6 +62,8 @@ class EngineConfig:
             raise ValueError("nt and n_stab must be positive")
         if self.delay_rank < 0:
             raise ValueError("delay_rank must be >= 0")
+        if self.submatrix_rank < 0:
+            raise ValueError("submatrix_rank must be >= 0")
 
     @property
     def n_stack(self) -> int:

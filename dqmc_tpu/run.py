@@ -109,7 +109,8 @@ def make_engine_config(params: Parameters, model,
     """EngineConfig from the [simulation] section.
 
     Site-update implementation: 'pallas' (default on accelerators for
-    single-flavor models), 'scan', or 'delayed' (with delay_rank).
+    single-flavor models), 'scan', 'delayed', or 'submatrix' (both take
+    their block rank from delay_rank).
     """
     nt = params.get_int("simulation", "nt")
     if n_stab is None:
@@ -126,6 +127,9 @@ def make_engine_config(params: Parameters, model,
                             wrap_precision=wrap_prec)
     if impl == "delayed":
         return EngineConfig(nt=nt, n_stab=n_stab, delay_rank=delay,
+                            wrap_precision=wrap_prec)
+    if impl == "submatrix":
+        return EngineConfig(nt=nt, n_stab=n_stab, submatrix_rank=delay,
                             wrap_precision=wrap_prec)
     return EngineConfig(nt=nt, n_stab=n_stab, wrap_precision=wrap_prec)
 

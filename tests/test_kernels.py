@@ -53,6 +53,65 @@ def test_delayed_matches_scan_bitwise():
         assert float(s1) == float(s2)
 
 
+def test_submatrix_matches_scan_bitwise():
+    """The submatrix (bordered-Woodbury) scheme realizes the exact chain of
+    the rank-1 scan: same decisions, same sign, G to f64 rounding."""
+    from dqmc_tpu.engine.sweep import local_update_slice_submatrix
+
+    m, G, fl = setup()
+    key = jax.random.PRNGKey(9)
+    G1, f1, a1, s1 = local_update_slice(m, key, G, fl)
+    for k in (4, 5, 16):
+        G2, f2, a2, s2 = local_update_slice_submatrix(m, key, G, fl, k)
+        assert bool((f1 == f2).all())
+        np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), atol=1e-11)
+        np.testing.assert_allclose(float(a1), float(a2))
+        assert float(s1) == float(s2)
+
+
+def test_submatrix_two_flavor_sign_flips():
+    """Submatrix scheme on the doped repulsive model: per-flavor bordered
+    inverses, negative-ratio sign bookkeeping identical to the scan."""
+    from dqmc_tpu.engine.sweep import local_update_slice_submatrix
+    from dqmc_tpu.models import RepulsiveHubbard
+
+    lat = square_lattice(4, 4)
+    ns = 16
+    m = RepulsiveHubbard.build(lat, U=6.0, t=1.0, mu=-0.8, beta=4.0, nt=16,
+                               dtype=jnp.float64)
+    rng = np.random.default_rng(21)
+    G = jnp.asarray(rng.standard_normal((2, ns, ns)) * 0.3 + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, ns), jnp.int32)
+    saw_flip = False
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        G1, f1, a1, s1 = local_update_slice(m, key, G, fl)
+        G2, f2, a2, s2 = local_update_slice_submatrix(m, key, G, fl, 8)
+        assert bool((f1 == f2).all())
+        np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), atol=1e-10)
+        assert float(s1) == float(s2)
+        saw_flip = saw_flip or float(s1) < 0
+    assert saw_flip, "test inputs produced no sign flip to verify"
+
+
+def test_submatrix_sweep_matches_scan_sweep():
+    """Full sweep_pair with submatrix_rank: same chain as the scan engine."""
+    from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair
+
+    lat = square_lattice(4, 4)
+    m = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=2.0, nt=8,
+                                dtype=jnp.float64)
+    cfg_scan = EngineConfig(nt=8, n_stab=2)
+    cfg_sub = EngineConfig(nt=8, n_stab=2, submatrix_rank=8)
+    s0 = init_state(m, cfg_scan, jax.random.PRNGKey(43))
+    s1 = sweep_pair(m, cfg_scan, s0)
+    s2 = sweep_pair(m, cfg_sub, s0)
+    assert bool((s1.fields == s2.fields).all())
+    assert float(s1.sign) == float(s2.sign)
+    np.testing.assert_allclose(np.asarray(s1.G), np.asarray(s2.G), atol=1e-10)
+    np.testing.assert_allclose(float(s1.acc_sum), float(s2.acc_sum))
+
+
 def test_batched_kernel_matches_shared_order_core():
     m, G1w, _ = setup()
     ns, W = 16, 4
