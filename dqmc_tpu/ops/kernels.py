@@ -558,6 +558,261 @@ def metropolis_slice_update_batched(model, keys: jax.Array, G: jax.Array,
 
 
 # ----------------------------------------------------------------------
+# walker-batched SUBMATRIX-update kernel
+# ----------------------------------------------------------------------
+#
+# The delayed kernel above forms each candidate's effective G row/column
+# against the pending (k, ns) buffers — O(WB k ns) VPU work per site, the
+# dominant sequential cost at large ns.  This kernel implements the
+# submatrix scheme (engine/sweep.local_update_slice_submatrix, Nukala et
+# al. PRB 81 195119): all k decisions of a block run on the k x k
+# submatrix G[I, I] of the block-base G through an incrementally bordered
+# Woodbury inverse W = M^{-1}, M = D_P^{-1} + (I - G)[P, P] — O(WB k^2)
+# per site, everything resident in (WB, k, k) VMEM tiles.  Per block:
+#
+# - gather: k sublane-dynamic row reads of G and GT into (WB, k, ns)
+#   buffers; GII / GII^T via two (k, ns) x (ns, k) MXU dots against the
+#   block's precomputed one-hot selector P_b;
+# - decide: fori over the k candidates, each a handful of (WB, k(,k))
+#   VPU ops + the bordered growth of W (masked dense writes — rejected
+#   candidates leave W's row/col at exactly zero, so the composite
+#   update's rank is the number of acceptances);
+# - flush: G += G[:, I] W (G[I, :] - I[I, :]) as three batched MXU dots
+#   (and the mirror-image dots for the transpose copy GT).
+
+
+def _batched_submatrix_kernel(k_sub, scal_ref, ga_ref, order_ref, pall_ref,
+                              props_ref, us_ref, fields_in_ref, g_in_ref,
+                              g_ref, fields_ref, acc_ref,
+                              gt_ref, grows_ref, gcols_ref, winv_ref):
+    """Refs:
+      SMEM: scal (1, 8) f32 = [eta0..3, gamma0..3]; order (1, ns) i32
+      VMEM: ga (WB, 2) f32 per-walker [g_coupling, alpha];
+            pall (n_blocks, ns, k) f32 one-hot column selectors
+            (pall[b, j, t] = 1 iff j == order[b k + t]);
+            props (ns, WB) i32, us (ns, WB) f32;
+            fields_in/fields (WB, ns) i32; g_in/g (WB, ns, ns) (aliased)
+      out:  acc (1, WB) f32
+      scratch: gt (WB, ns, ns); grows, gcols (WB, k, ns); winv (WB, k, k)
+    """
+    WB, ns = g_ref.shape[0], g_ref.shape[-1]
+    dtype = g_ref.dtype
+    n_blocks = ns // k_sub
+    g_ref[...] = g_in_ref[...]
+    gt_ref[...] = jnp.swapaxes(g_in_ref[...], -1, -2)
+    fields_ref[...] = fields_in_ref[...]
+
+    g_hs = ga_ref[:, 0:1]                                # (WB, 1)
+    alpha = ga_ref[:, 1:2]                               # (WB, 1)
+    lane_ns = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_sub), 1)
+    sub_kk = jax.lax.broadcasted_iota(jnp.int32, (k_sub, k_sub), 0)
+    lane_kk = jax.lax.broadcasted_iota(jnp.int32, (k_sub, k_sub), 1)
+    hp = jax.lax.Precision.HIGHEST  # DEFAULT truncates f32 to bf16 on MXU
+
+    def lut(base, s):
+        out = jnp.zeros(s.shape, dtype)
+        for v4 in range(4):
+            out = jnp.where(s == v4, scal_ref[0, base + v4], out)
+        return out
+
+    def gather(b_t, _):
+        t = jax.lax.rem(b_t, jnp.int32(k_sub))
+        i = order_ref[0, b_t]
+        grows_ref[:, pl.ds(t, 1), :] = g_ref[:, pl.ds(i, 1), :]
+        gcols_ref[:, pl.ds(t, 1), :] = gt_ref[:, pl.ds(i, 1), :]
+        return jnp.int32(0)
+
+    def block(b, acc):
+        base = b * k_sub
+        jax.lax.fori_loop(base, base + jnp.int32(k_sub), gather,
+                          jnp.int32(0))
+        P_b = pall_ref[pl.ds(b, 1), :, :].reshape(
+            pall_ref.shape[1], pall_ref.shape[2])        # (ns, k)
+        dn = (((2,), (0,)), ((), ()))                    # contract ns axis
+        GII = jax.lax.dot_general(grows_ref[...], P_b, dn,
+                                  preferred_element_type=dtype,
+                                  precision=hp)          # (WB, k, k)
+        GIIT = jax.lax.dot_general(gcols_ref[...], P_b, dn,
+                                   preferred_element_type=dtype,
+                                   precision=hp)         # (WB, k, k) = GII^T
+        winv_ref[...] = jnp.zeros_like(winv_ref)
+
+        def site(t, carry):
+            acc, mask = carry                            # mask (WB, k)
+            i = order_ref[0, base + t]
+            fields = fields_ref[...]
+            old = jnp.sum(fields * (lane_ns == i), axis=1,
+                          keepdims=True, dtype=jnp.int32)
+            r = props_ref[pl.ds(base + t, 1), :].reshape(WB, 1)
+            new = r + (r >= old).astype(r.dtype)
+            u = us_ref[pl.ds(base + t, 1), :].reshape(WB, 1)
+
+            d_eta = lut(0, new) - lut(0, old)
+            gammaR = lut(4, new) / lut(4, old)
+            bosonR = jnp.exp(alpha * g_hs * d_eta)
+            delta = jnp.exp(g_hs * d_eta) - 1.0          # (WB, 1)
+
+            brow = -GII[:, t, :] * mask                  # (WB, k) = -G[t,P]
+            crow = -GIIT[:, t, :] * mask                 # (WB, k) = -G[P,t]
+            W = winv_ref[...]                            # (WB, k, k)
+            Wc = jnp.sum(W * crow[:, None, :], axis=2)   # (WB, k)
+            bW = jnp.sum(W * brow[:, :, None], axis=1)   # (WB, k)
+            bWc = jnp.sum(brow * Wc, axis=1, keepdims=True)
+            onehot_t = jnp.where(lane_k == t, jnp.asarray(1.0, dtype),
+                                 jnp.asarray(0.0, dtype))
+            G_tt = jnp.sum(GII[:, t, :] * onehot_t, axis=1, keepdims=True)
+            r_flv = 1.0 + delta * (1.0 - G_tt) - delta * bWc
+            R = gammaR * bosonR * r_flv * r_flv          # det_power = 2
+            accept = u < jnp.minimum(jnp.asarray(1.0, dtype), jnp.abs(R))
+            inv_s = jnp.where(accept, delta / r_flv,
+                              jnp.zeros_like(delta))     # (WB, 1)
+
+            # bordered growth (all no-ops when inv_s == 0: row/col t of W
+            # and the Wc/bW supports are zero until t is accepted)
+            W = W + inv_s[:, :, None] * Wc[:, :, None] * bW[:, None, :]
+            row_t = -inv_s * bW                          # (WB, k)
+            col_t = -inv_s * Wc
+            W = jnp.where((sub_kk == t)[None], row_t[:, None, :]
+                          * jnp.ones((1, k_sub, 1), dtype), W)
+            W = jnp.where((lane_kk == t)[None], col_t[:, :, None]
+                          * jnp.ones((1, 1, k_sub), dtype), W)
+            W = jnp.where(((sub_kk == t) & (lane_kk == t))[None],
+                          inv_s[:, :, None]
+                          * jnp.ones((1, k_sub, k_sub), dtype), W)
+            winv_ref[...] = W
+            mask = jnp.where((lane_k == t) & accept,
+                             jnp.asarray(1.0, dtype), mask)
+            fields_ref[...] = jnp.where((lane_ns == i) & accept,
+                                        new.astype(fields.dtype), fields)
+            return acc + accept.reshape(1, WB), mask
+
+        acc, _ = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(k_sub), site,
+            (acc, jnp.zeros((WB, k_sub), dtype)))
+
+        # composite flush: M = W (G[I,:] - I[I,:]); G += G[:,I] M
+        V = grows_ref[...] - jnp.swapaxes(P_b, 0, 1)[None]   # (WB, k, ns)
+        dn_kk = (((2,), (1,)), ((0,), (0,)))             # (WB,k,k)x(WB,k,ns)
+        M = jax.lax.dot_general(winv_ref[...], V, dn_kk,
+                                preferred_element_type=dtype,
+                                precision=hp)            # (WB, k, ns)
+        dn_t = (((1,), (1,)), ((0,), (0,)))              # contract k axis
+        g_ref[...] += jax.lax.dot_general(
+            gcols_ref[...], M, dn_t, preferred_element_type=dtype,
+            precision=hp)
+        gt_ref[...] += jax.lax.dot_general(
+            M, gcols_ref[...], dn_t, preferred_element_type=dtype,
+            precision=hp)
+        return acc
+
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_blocks), block,
+                            jnp.zeros((1, WB), dtype))
+    acc_ref[...] = acc / ns
+
+
+@functools.partial(jax.jit, static_argnames=("k_sub", "interpret"))
+def _metropolis_batched_sub_impl(g_vec: jax.Array, alpha_vec: jax.Array,
+                                 keys: jax.Array, G: jax.Array,
+                                 fields: jax.Array, *, k_sub: int = 32,
+                                 interpret: bool = False):
+    """Batched submatrix site update over a flat walker axis — same stream
+    contract as _metropolis_batched_impl (shared order from keys[0],
+    per-walker proposals/uniforms), same Markov chain, O(k^2) sequential
+    work per site."""
+    from dqmc_tpu import hsfield
+    from dqmc_tpu.engine.sweep import draw_slice_randoms
+
+    W, nfl, ns, _ = G.shape
+    assert nfl == 1
+    dtype = G.dtype
+    if ns % k_sub:
+        k_sub = next(k for k in (16, 8, 4, 2, 1) if ns % k == 0)
+    n_blocks = ns // k_sub
+
+    order, _, _ = draw_slice_randoms(keys[0], ns, dtype)
+    _, props, us = jax.vmap(
+        lambda k: draw_slice_randoms(k, ns, dtype))(keys)
+    props_t = props.astype(jnp.int32).T          # (ns, W)
+    us_t = us.T                                  # (ns, W)
+    # per-block one-hot column selectors: pall[b, j, t] = [j == I_b[t]]
+    pall = jax.nn.one_hot(order.reshape(n_blocks, k_sub), ns,
+                          dtype=dtype).transpose(0, 2, 1)  # (nb, ns, k)
+
+    scal = jnp.concatenate([
+        jnp.asarray(hsfield.ETA, dtype),
+        jnp.asarray(hsfield.GAMMA, dtype),
+    ]).reshape(1, 8)
+    ga = jnp.stack([g_vec.astype(dtype), alpha_vec.astype(dtype)], axis=1)
+
+    WB = _pick_block(W, ns, k_sub, jnp.dtype(dtype).itemsize)
+    kern = functools.partial(_batched_submatrix_kernel, k_sub)
+
+    def call_block(ga_b, props_b, us_b, fields_b, G_b):
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((WB, ns, ns), dtype),
+                jax.ShapeDtypeStruct((WB, ns), jnp.int32),
+                jax.ShapeDtypeStruct((1, WB), dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # ga
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # order
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # pall
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # props
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # us
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # fields in
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # G in
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WB, ns, ns), dtype),       # GT
+                pltpu.VMEM((WB, k_sub, ns), dtype),    # Grows
+                pltpu.VMEM((WB, k_sub, ns), dtype),    # Gcols
+                pltpu.VMEM((WB, k_sub, k_sub), dtype), # Winv
+            ],
+            input_output_aliases={7: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(scal, ga_b, order.astype(jnp.int32).reshape(1, ns), pall, props_b,
+          us_b, fields_b, G_b)
+
+    n_wblocks = W // WB
+    if n_wblocks == 1:
+        G_new, fields_new, acc = call_block(
+            ga, props_t, us_t, fields.astype(jnp.int32),
+            G.reshape(W, ns, ns))
+    else:
+        G_new, fields_new, acc = jax.vmap(call_block)(
+            ga.reshape(n_wblocks, WB, 2),
+            props_t.T.reshape(n_wblocks, WB, ns).transpose(0, 2, 1),
+            us_t.T.reshape(n_wblocks, WB, ns).transpose(0, 2, 1),
+            fields.astype(jnp.int32).reshape(n_wblocks, WB, ns),
+            G.reshape(n_wblocks, WB, ns, ns))
+
+    return (G_new.reshape(W, 1, ns, ns), fields_new.reshape(W, ns),
+            acc.reshape(W))
+
+
+def metropolis_slice_update_submatrix(model, keys: jax.Array, G: jax.Array,
+                                      fields: jax.Array, *, k_sub: int = 32,
+                                      interpret: bool = False):
+    """Walker-batched submatrix site update for a single model."""
+    W = G.shape[0]
+    g_vec = jnp.broadcast_to(model.g, (W,))
+    alpha_vec = jnp.broadcast_to(model.alpha, (W,))
+    return _metropolis_batched_sub_impl(g_vec, alpha_vec, keys, G, fields,
+                                        k_sub=k_sub, interpret=interpret)
+
+
+# ----------------------------------------------------------------------
 # vmap-aware entry points
 # ----------------------------------------------------------------------
 #

@@ -112,6 +112,32 @@ def test_submatrix_sweep_matches_scan_sweep():
     np.testing.assert_allclose(float(s1.acc_sum), float(s2.acc_sum))
 
 
+def test_submatrix_pallas_kernel_matches_core():
+    """The batched submatrix Pallas kernel (interpret mode) realizes the
+    same chain as the rank-1 core for every walker and block rank."""
+    from dqmc_tpu.ops.kernels import metropolis_slice_update_submatrix
+
+    m, _, _ = setup()
+    ns, W = 16, 4
+    rng = np.random.default_rng(6)
+    G = jnp.asarray(rng.standard_normal((W, 1, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(11), W)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
+    for k_sub in (4, 8, 16):
+        G2, f2, a2 = metropolis_slice_update_submatrix(
+            m, keys, G, fl, k_sub=k_sub, interpret=True)
+        for w in range(W):
+            _, props, us = draw_slice_randoms(keys[w], ns, jnp.float64)
+            Gw, fw, aw, _ = local_update_core(m, G[w], fl[w], order,
+                                              props, us)
+            assert bool((fw == f2[w]).all()), (k_sub, w)
+            np.testing.assert_allclose(np.asarray(Gw), np.asarray(G2[w]),
+                                       atol=1e-11)
+            np.testing.assert_allclose(float(aw), float(a2[w]))
+
+
 def test_batched_kernel_matches_shared_order_core():
     m, G1w, _ = setup()
     ns, W = 16, 4
