@@ -66,13 +66,8 @@ from dqmc_tpu.engine.sweep import (
 )
 
 
-def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision,
-                        order_ref, gb_ref, delta_ref, us_ref,
-                        ev_old_ref, ev_new_ref,
-                        expK_ref, expKT_ref, invexpKT_ref, expK2_ref,
-                        g_in_ref,
-                        g_ref, mask_ref, bbar_ref, acc_ref,
-                        gt_ref, ut_ref, v_ref):
+def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
+                        *refs):
     """One stabilization block for a walker block WB.
 
     The field-dependent Metropolis factors are PRECOMPUTED outside: every
@@ -100,7 +95,25 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision,
               keeping the accumulator in the output ref saves VMEM),
               NORMAL form for backward; acc (1, WB).
     scratch: gt (WB, ns, ns); ut, v (WB, k_delay, ns).
+
+    scheme selects the in-slice site-update algorithm: "delayed" (rank-k
+    U/V buffers, O(WB k ns) effective-row formation per site) or
+    "submatrix" (bordered Woodbury on the k x k candidate submatrix,
+    O(WB k^2) per site — see ops/kernels._batched_submatrix_kernel).  The
+    submatrix layout replaces the ut/v scratch with grows/gcols
+    (WB, k, ns) + winv (WB, k, k) and adds a pall input
+    (n_slices * ns/k, ns, k) of one-hot block column selectors.
     """
+    if scheme == "submatrix":
+        (order_ref, gb_ref, delta_ref, us_ref, ev_old_ref, ev_new_ref,
+         expK_ref, expKT_ref, invexpKT_ref, expK2_ref, pall_ref, g_in_ref,
+         g_ref, mask_ref, bbar_ref, acc_ref,
+         gt_ref, grows_ref, gcols_ref, winv_ref) = refs
+    else:
+        (order_ref, gb_ref, delta_ref, us_ref, ev_old_ref, ev_new_ref,
+         expK_ref, expKT_ref, invexpKT_ref, expK2_ref, g_in_ref,
+         g_ref, mask_ref, bbar_ref, acc_ref,
+         gt_ref, ut_ref, v_ref) = refs
     WB, ns = g_ref.shape[0], g_ref.shape[-1]
     dtype = g_ref.dtype
     g_ref[...] = g_in_ref[...]
@@ -234,6 +247,94 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision,
         acc_ref[...] += jnp.sum(mask_ref[:, base:base + ns],
                                 axis=1)[None, :]
 
+    def site_loop_sub(l):
+        # submatrix scheme: decisions on the k x k candidate submatrix via
+        # a bordered Woodbury inverse; O(WB k^2) sequential work per site
+        # (ops/kernels._batched_submatrix_kernel has the algebra notes)
+        base = l * ns
+        nb = ns // k_delay
+        hp = jax.lax.Precision.HIGHEST   # decision math is always exact-f32
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_delay), 1)
+        sub_kk = jax.lax.broadcasted_iota(jnp.int32, (k_delay, k_delay), 0)
+        lane_kk = jax.lax.broadcasted_iota(jnp.int32, (k_delay, k_delay), 1)
+
+        def gather(bt, _):
+            t = jax.lax.rem(bt, jnp.int32(k_delay))
+            i = order_ref[l, bt]
+            grows_ref[:, pl.ds(t, 1), :] = g_ref[:, pl.ds(i, 1), :]
+            gcols_ref[:, pl.ds(t, 1), :] = gt_ref[:, pl.ds(i, 1), :]
+            return jnp.int32(0)
+
+        def block(b, _):
+            kbase = b * k_delay
+            jax.lax.fori_loop(kbase, kbase + jnp.int32(k_delay), gather,
+                              jnp.int32(0))
+            P_b = pall_ref[pl.ds(l * nb + b, 1), :, :].reshape(ns, k_delay)
+            dn = (((2,), (0,)), ((), ()))
+            GII = jax.lax.dot_general(grows_ref[...], P_b, dn,
+                                      preferred_element_type=dtype,
+                                      precision=hp)
+            GIIT = jax.lax.dot_general(gcols_ref[...], P_b, dn,
+                                       preferred_element_type=dtype,
+                                       precision=hp)
+            winv_ref[...] = jnp.zeros_like(winv_ref)
+
+            def site(t, mask):
+                i = order_ref[l, kbase + t]
+                onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
+                                   jnp.asarray(0.0, dtype))
+                gb = gb_ref[pl.ds(base + i, 1), :].reshape(WB, 1)
+                delta = delta_ref[pl.ds(base + i, 1), :].reshape(WB, 1)
+                u = us_ref[pl.ds(base + kbase + t, 1), :].reshape(WB, 1)
+
+                brow = -GII[:, t, :] * mask              # (WB, k) = -G[t,P]
+                crow = -GIIT[:, t, :] * mask             # (WB, k) = -G[P,t]
+                Wv = winv_ref[...]
+                Wc = jnp.sum(Wv * crow[:, None, :], axis=2)
+                bW = jnp.sum(Wv * brow[:, :, None], axis=1)
+                bWc = jnp.sum(brow * Wc, axis=1, keepdims=True)
+                onehot_t = jnp.where(lane_k == t, jnp.asarray(1.0, dtype),
+                                     jnp.asarray(0.0, dtype))
+                G_tt = jnp.sum(GII[:, t, :] * onehot_t, axis=1,
+                               keepdims=True)
+                r_flv = 1.0 + delta * (1.0 - G_tt) - delta * bWc
+                R = gb * r_flv * r_flv
+                accept = u < R                           # R >= 0 (see above)
+                accf = accept.astype(dtype)
+                inv_s = jnp.where(accept, delta / r_flv,
+                                  jnp.zeros_like(delta))
+                Wv = Wv + inv_s[:, :, None] * Wc[:, :, None] * bW[:, None, :]
+                Wv = jnp.where((sub_kk == t)[None], (-inv_s * bW)[:, None, :]
+                               * jnp.ones((1, k_delay, 1), dtype), Wv)
+                Wv = jnp.where((lane_kk == t)[None], (-inv_s * Wc)[:, :, None]
+                               * jnp.ones((1, 1, k_delay), dtype), Wv)
+                Wv = jnp.where(((sub_kk == t) & (lane_kk == t))[None],
+                               inv_s[:, :, None]
+                               * jnp.ones((1, k_delay, k_delay), dtype), Wv)
+                winv_ref[...] = Wv
+                mask = jnp.where((lane_k == t) & accept,
+                                 jnp.asarray(1.0, dtype), mask)
+                mask_ref[:, base:base + ns] += accf * onehot
+                return mask
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(k_delay), site,
+                              jnp.zeros((WB, k_delay), dtype))
+            # composite flush: G += G[:,I] W (G[I,:] - I[I,:])
+            V = grows_ref[...] - jnp.swapaxes(P_b, 0, 1)[None]
+            dn_kk = (((2,), (1,)), ((0,), (0,)))
+            M = _dot(winv_ref[...], V, dn_kk)            # (WB, k, ns)
+            dn_t = (((1,), (1,)), ((0,), (0,)))
+            g_ref[...] += _dot(gcols_ref[...], M, dn_t)
+            gt_ref[...] += _dot(M, gcols_ref[...], dn_t)
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), block, jnp.int32(0))
+        acc_ref[...] += jnp.sum(mask_ref[:, base:base + ns],
+                                axis=1)[None, :]
+
+    if scheme == "submatrix":
+        site_loop = site_loop_sub
+
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for step in range(n_slices):
         if forward:
@@ -282,10 +383,11 @@ def _pick_block(W: int, ns: int, k: int, itemsize: int, n_slices: int = 8,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_slices", "k_delay", "forward",
-                                    "interpret", "precision"))
+                                    "interpret", "precision", "update"))
 def fused_block(model, order, props, us, G, fields_blk, *,
                 n_slices: int, k_delay: int = 32, forward: bool = True,
-                interpret: bool = False, precision: str = "highest"):
+                interpret: bool = False, precision: str = "highest",
+                update: str = "delayed"):
     """Run one stabilization block for a walker batch.
 
     order: (n_slices, ns) i32 shared visit orders; props (W, n_slices, ns)
@@ -358,11 +460,31 @@ def fused_block(model, order, props, us, G, fields_blk, *,
                 "default": jax.lax.Precision.DEFAULT,
                 "bf16x3": "bf16x3"}[precision]
     kern = functools.partial(_fused_block_kernel, n_slices, k_delay, forward,
-                             mxu_prec)
+                             mxu_prec, update)
+    if update == "submatrix":
+        # per-(slice, block) one-hot column selectors for the k x k gathers
+        nb = ns // k_delay
+        pall = jax.nn.one_hot(order_i.reshape(n_slices * nb, k_delay), ns,
+                              dtype=dtype).transpose(0, 2, 1)
+        extra_in = (pall,)
+        scratch = [
+            pltpu.VMEM((WB, ns, ns), dtype),            # GT
+            pltpu.VMEM((WB, k_delay, ns), dtype),       # Grows
+            pltpu.VMEM((WB, k_delay, ns), dtype),       # Gcols
+            pltpu.VMEM((WB, k_delay, k_delay), dtype),  # Winv
+        ]
+    else:
+        extra_in = ()
+        scratch = [
+            pltpu.VMEM((WB, ns, ns), dtype),        # GT
+            pltpu.VMEM((WB, k_delay, ns), dtype),   # Ut
+            pltpu.VMEM((WB, k_delay, ns), dtype),   # V
+        ]
 
     def call_block(gb_b, delta_b, us_b, evo_b, evn_b, G_b):
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        n_in = 10 + len(extra_in)
         return pl.pallas_call(
             kern,
             out_shape=(
@@ -371,19 +493,14 @@ def fused_block(model, order, props, us, G, fields_blk, *,
                 jax.ShapeDtypeStruct((WB, ns, ns), dtype),
                 jax.ShapeDtypeStruct((1, WB), dtype),
             ),
-            in_specs=[smem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-                      vmem(), vmem(), vmem(), vmem(), vmem()],
+            in_specs=[smem()] + [vmem()] * n_in,
             out_specs=(vmem(), vmem(), vmem(), vmem()),
-            scratch_shapes=[
-                pltpu.VMEM((WB, ns, ns), dtype),        # GT
-                pltpu.VMEM((WB, k_delay, ns), dtype),   # Ut
-                pltpu.VMEM((WB, k_delay, ns), dtype),   # V
-            ],
-            input_output_aliases={10: 0},
+            scratch_shapes=scratch,
+            input_output_aliases={n_in: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(order_i, gb_b, delta_b, us_b, evo_b, evn_b, *mats, G_b)
+        )(order_i, gb_b, delta_b, us_b, evo_b, evn_b, *mats, *extra_in, G_b)
 
     n_blocks = W // WB
     if n_blocks == 1:
@@ -469,7 +586,10 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
         G, fields_blk, bbar, acc_b = fused_block(
             model, order_b, props_b, us_b, G, fields_blk,
             n_slices=n_slices, forward=forward, interpret=interpret,
-            precision=cfg.wrap_precision)
+            precision=cfg.wrap_precision, update=cfg.fused_update,
+            k_delay=cfg.submatrix_rank
+            if cfg.fused_update == "submatrix" and cfg.submatrix_rank
+            else 32)
         fields = jax.lax.dynamic_update_slice_in_dim(fields, fields_blk, l0,
                                                      axis=1)
         # the opposite half-chain, read per block from the NON-CARRIED input

@@ -50,6 +50,11 @@ class EngineConfig:
     # On CPU backends the kernel runs in (slow) interpret mode, so leave
     # this off for CPU runs.
     use_pallas: bool = False
+    # In-slice site-update algorithm of the FUSED block kernel:
+    # "delayed" (rank-k U/V buffers) or "submatrix" (bordered Woodbury on
+    # the k x k candidate submatrix — O(k^2) per site instead of O(k ns);
+    # rank from submatrix_rank, default 32).  [simulation] fused_update.
+    fused_update: str = "delayed"
     # MXU pass count for the fused kernel's f32 propagation/flush matmuls:
     # "highest" = f32-exact (6 bf16 passes on v5e); "default" = one bf16
     # pass (~4e-3 relative — degrades the chain's self-check error, see

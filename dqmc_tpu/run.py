@@ -122,16 +122,16 @@ def make_engine_config(params: Parameters, model,
     impl = params.get_str("simulation", "site_update", default_impl)
     delay = params.get_int("simulation", "delay_rank", 32)
     wrap_prec = params.get_str("simulation", "wrap_precision", "highest")
+    fused_upd = params.get_str("simulation", "fused_update", "delayed")
+    common = dict(nt=nt, n_stab=n_stab, wrap_precision=wrap_prec,
+                  fused_update=fused_upd)
     if impl == "pallas":
-        return EngineConfig(nt=nt, n_stab=n_stab, use_pallas=True,
-                            wrap_precision=wrap_prec)
+        return EngineConfig(use_pallas=True, **common)
     if impl == "delayed":
-        return EngineConfig(nt=nt, n_stab=n_stab, delay_rank=delay,
-                            wrap_precision=wrap_prec)
+        return EngineConfig(delay_rank=delay, **common)
     if impl == "submatrix":
-        return EngineConfig(nt=nt, n_stab=n_stab, submatrix_rank=delay,
-                            wrap_precision=wrap_prec)
-    return EngineConfig(nt=nt, n_stab=n_stab, wrap_precision=wrap_prec)
+        return EngineConfig(submatrix_rank=delay, **common)
+    return EngineConfig(**common)
 
 
 @dataclasses.dataclass

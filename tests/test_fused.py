@@ -96,6 +96,52 @@ def test_fused_block_matches_oracle_forward():
     np.testing.assert_allclose(np.asarray(ak), np.asarray(ao), atol=1e-12)
 
 
+def test_fused_block_submatrix_matches_oracle():
+    """The fused kernel's submatrix update scheme realizes the exact same
+    chain as the oracle (and hence as the delayed scheme) in both sweep
+    directions and at several block ranks."""
+    for forward, seed in ((True, 3), (False, 4)):
+        model, cfg, states = _setup(seed=seed)
+        W, ns = 2, model.n_sites
+        n_slices = cfg.n_stab
+        order, props, us = _streams(model, None, n_slices, ns, model.dtype,
+                                    W, seed=seed + 10)
+        fields_blk = states.fields[:, :n_slices]
+        Go, fo, bo, ao = _block_oracle(model, order, props, us, states.G,
+                                       fields_blk, forward)
+        for k in (4, 8):
+            Gk, fk, bk, ak = fused_block(model, order, props, us, states.G,
+                                         fields_blk, n_slices=n_slices,
+                                         k_delay=k, forward=forward,
+                                         interpret=True, update="submatrix")
+            np.testing.assert_array_equal(np.asarray(fk), np.asarray(fo))
+            # composite Woodbury flush vs sequential rank-1: fp reordering
+            # amplified by near-singular accepted moves (delta/r_flv)
+            np.testing.assert_allclose(np.asarray(Gk), np.asarray(Go),
+                                       atol=3e-8)
+            np.testing.assert_allclose(np.asarray(bk), np.asarray(bo),
+                                       atol=1e-11)
+            np.testing.assert_allclose(np.asarray(ak), np.asarray(ao),
+                                       atol=1e-12)
+
+
+def test_sweep_fused_submatrix_matches_delayed_chain():
+    """Full fused sweeps with the submatrix scheme follow the delayed
+    scheme's chain exactly (fields/sign/acceptance; G to stabilized
+    tolerance)."""
+    model, cfg, states = _setup(nt=12, n_stab=3)
+    cfg_sub = dataclasses.replace(cfg, fused_update="submatrix",
+                                  submatrix_rank=8)
+    s1 = sweep_pair_fused(model, cfg, states, interpret=True)
+    s2 = sweep_pair_fused(model, cfg_sub, states, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s1.fields),
+                                  np.asarray(s2.fields))
+    np.testing.assert_allclose(np.asarray(s1.G), np.asarray(s2.G),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s1.acc_sum),
+                               np.asarray(s2.acc_sum), atol=1e-12)
+
+
 def test_fused_block_matches_oracle_backward():
     model, cfg, states = _setup(seed=1)
     W, ns = 2, model.n_sites
