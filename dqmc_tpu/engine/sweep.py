@@ -529,10 +529,16 @@ def sweep(model, cfg: EngineConfig, state: WalkerState, *,
                         "pallas site-update kernel supports single-flavor "
                         "det_power=2 and two-flavor det_power=1 models; "
                         "use delay_rank/scan instead")
-                from dqmc_tpu.ops.kernels import pallas_site_update
                 # pallas kernels serve sign-free models only; sign unchanged
-                G, fields_l, acc_l = pallas_site_update(
-                    model, k_slice, G, fields_l)
+                if cfg.submatrix_rank > 0:
+                    from dqmc_tpu.ops.kernels import \
+                        pallas_site_update_submatrix
+                    G, fields_l, acc_l = pallas_site_update_submatrix(
+                        cfg.submatrix_rank)(model, k_slice, G, fields_l)
+                else:
+                    from dqmc_tpu.ops.kernels import pallas_site_update
+                    G, fields_l, acc_l = pallas_site_update(
+                        model, k_slice, G, fields_l)
             elif cfg.submatrix_rank > 0:
                 G, fields_l, acc_l, sgn_l = local_update_slice_submatrix(
                     model, k_slice, G, fields_l, cfg.submatrix_rank)

@@ -951,6 +951,81 @@ def _pallas_site_update_2f_vmap(axis_size, in_batched, model, key, G,
     return out, (True, True, True, True)
 
 
+@functools.lru_cache(maxsize=None)
+def _site_update_batched_sub_fn(k_sub: int):
+    """vmap-flattening batched entry for the submatrix kernel, one cached
+    custom_vmap closure per static block rank."""
+
+    @jax.custom_batching.custom_vmap
+    def f(g, alpha, keys, G, fields):
+        interpret = jax.default_backend() == "cpu"
+        return _metropolis_batched_sub_impl(g, alpha, keys, G, fields,
+                                            k_sub=k_sub,
+                                            interpret=interpret)
+
+    @f.def_vmap
+    def _vmap(axis_size, in_batched, g, alpha, keys, G, fields):
+        B = axis_size
+
+        def ensure(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (B,) + tuple(jnp.shape(x)))
+
+        g = ensure(g, in_batched[0])
+        alpha = ensure(alpha, in_batched[1])
+        keys = ensure(keys, in_batched[2])
+        G = ensure(G, in_batched[3])
+        fields = ensure(fields, in_batched[4])
+        W = G.shape[1]
+        Gn, fn, an = f(
+            g.reshape(B * W), alpha.reshape(B * W),
+            keys.reshape((B * W,) + keys.shape[2:]),
+            G.reshape((B * W,) + G.shape[2:]),
+            fields.reshape((B * W,) + fields.shape[2:]))
+        out = (Gn.reshape(G.shape), fn.reshape(fields.shape),
+               an.reshape(B, W))
+        return out, (True, True, True)
+
+    return f
+
+
+def _make_pallas_site_update_sub(k_sub: int):
+    @jax.custom_batching.custom_vmap
+    def pallas_site_update_sub(model, key, G, fields_l):
+        G1, f1, a1 = _site_update_batched_sub_fn(k_sub)(
+            model.g.reshape(1), model.alpha.reshape(1), key[None], G[None],
+            fields_l[None])
+        return G1[0], f1[0], a1[0]
+
+    @pallas_site_update_sub.def_vmap
+    def _vmap(axis_size, in_batched, model, key, G, fields_l):
+        W = axis_size
+        mb = in_batched[0]
+
+        def ensure(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (W,) + tuple(jnp.shape(x)))
+
+        g = model.g if mb.g else jnp.broadcast_to(model.g, (W,))
+        alpha = (model.alpha if mb.alpha
+                 else jnp.broadcast_to(model.alpha, (W,)))
+        key = ensure(key, in_batched[1])
+        G = ensure(G, in_batched[2])
+        fields_l = ensure(fields_l, in_batched[3])
+        out = _site_update_batched_sub_fn(k_sub)(g, alpha, key, G, fields_l)
+        return out, (True, True, True)
+
+    return pallas_site_update_sub
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_site_update_submatrix(k_sub: int):
+    """Per-walker submatrix site update (vmap-aware like
+    pallas_site_update); call as pallas_site_update_submatrix(k)(model,
+    key, G, fields_l).  Single-flavor det_power=2 models."""
+    return _make_pallas_site_update_sub(k_sub)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def metropolis_slice_update(model, key: jax.Array, G: jax.Array,
                             fields_l: jax.Array, *, interpret: bool = False):

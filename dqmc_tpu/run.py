@@ -130,7 +130,11 @@ def make_engine_config(params: Parameters, model,
     if impl == "delayed":
         return EngineConfig(delay_rank=delay, **common)
     if impl == "submatrix":
-        return EngineConfig(submatrix_rank=delay, **common)
+        # Pallas submatrix kernel on accelerators; pure-JAX scan on CPU
+        # (the kernel runs interpret-only there)
+        return EngineConfig(submatrix_rank=delay,
+                            use_pallas=jax.default_backend() != "cpu",
+                            **common)
     return EngineConfig(**common)
 
 

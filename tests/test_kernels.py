@@ -138,6 +138,43 @@ def test_submatrix_pallas_kernel_matches_core():
             np.testing.assert_allclose(float(aw), float(a2[w]))
 
 
+def test_submatrix_pallas_vmap_and_engine_dispatch():
+    """vmap(pallas_site_update_submatrix(k)) flattens to the batched kernel
+    and the use_pallas+submatrix_rank engine path realizes the scan
+    engine's exact chain."""
+    from dqmc_tpu.engine import EngineConfig, init_state, sweep_pair
+    from dqmc_tpu.ops.kernels import pallas_site_update_submatrix
+
+    m, _, _ = setup()
+    ns, W = 16, 4
+    rng = np.random.default_rng(8)
+    G = jnp.asarray(rng.standard_normal((W, 1, ns, ns)) * 0.2
+                    + 0.5 * np.eye(ns))
+    fl = jnp.asarray(rng.integers(0, 4, (W, ns)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(13), W)
+    fn = pallas_site_update_submatrix(8)
+    G1, f1, a1 = jax.vmap(lambda k, g, f: fn(m, k, g, f))(keys, G, fl)
+    order, _, _ = draw_slice_randoms(keys[0], ns, jnp.float64)
+    for w in range(W):
+        _, props, us = draw_slice_randoms(keys[w], ns, jnp.float64)
+        Gw, fw, aw, _ = local_update_core(m, G[w], fl[w], order, props, us)
+        assert bool((fw == f1[w]).all())
+        np.testing.assert_allclose(np.asarray(Gw), np.asarray(G1[w]),
+                                   atol=1e-11)
+
+    lat = square_lattice(4, 4)
+    m2 = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=2.0, nt=8,
+                                 dtype=jnp.float64)
+    cfg_scan = EngineConfig(nt=8, n_stab=2)
+    cfg_ps = EngineConfig(nt=8, n_stab=2, use_pallas=True, submatrix_rank=8)
+    s0 = init_state(m2, cfg_scan, jax.random.PRNGKey(47))
+    s1 = sweep_pair(m2, cfg_scan, s0)
+    s2 = sweep_pair(m2, cfg_ps, s0)
+    assert bool((s1.fields == s2.fields).all())
+    np.testing.assert_allclose(np.asarray(s1.G), np.asarray(s2.G),
+                               atol=1e-10)
+
+
 def test_batched_kernel_matches_shared_order_core():
     m, G1w, _ = setup()
     ns, W = 16, 4

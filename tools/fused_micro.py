@@ -9,6 +9,7 @@ so the device result cache cannot serve repeats.
 
 Usage: python tools/fused_micro.py [--k-delay 32] [--walkers 16]
            [--n-slices 5] [--L 16] [--iters 20] [--reps 3]
+           [--update delayed|submatrix]
 """
 
 import argparse
@@ -29,6 +30,8 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--forward", action="store_true", default=True)
+    p.add_argument("--update", choices=("delayed", "submatrix"),
+                   default="delayed")
     args = p.parse_args()
 
     from dqmc_tpu import compile_cache
@@ -59,7 +62,8 @@ def main():
             G, = carry
             G2, f2, bbar, acc = fused_block(
                 model, order, props, us, G, fields,
-                n_slices=nsl, k_delay=args.k_delay, forward=True)
+                n_slices=nsl, k_delay=args.k_delay, forward=True,
+                update=args.update)
             return (G2,), acc
 
         (G,), accs = jax.lax.scan(body, (G,), None, length=args.iters)
@@ -77,7 +81,8 @@ def main():
         jax.block_until_ready(out[0])
         times.append(time.perf_counter() - t0)
     per_call = min(times) / args.iters * 1e3
-    print(f"k_delay={args.k_delay} W={W} ns={ns} n_slices={nsl}: "
+    print(f"update={args.update} k_delay={args.k_delay} W={W} ns={ns} "
+          f"n_slices={nsl}: "
           f"{per_call:.3f} ms/block-call "
           f"({per_call / nsl:.3f} ms/slice)  walls={['%.3f' % t for t in times]}")
 
