@@ -287,16 +287,21 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
                 delta = delta_ref[pl.ds(base + i, 1), :].reshape(WB, 1)
                 u = us_ref[pl.ds(base + kbase + t, 1), :].reshape(WB, 1)
 
-                brow = -GII[:, t, :] * mask              # (WB, k) = -G[t,P]
-                crow = -GIIT[:, t, :] * mask             # (WB, k) = -G[P,t]
+                # row t of GII/GIIT via masked reduction — Mosaic has no
+                # dynamic_slice on VMEM values (only pl.ds on refs)
+                row_t = jnp.where(sub_kk == t, jnp.asarray(1.0, dtype),
+                                  jnp.asarray(0.0, dtype))
+                GII_t = jnp.sum(GII * row_t[None], axis=1)   # (WB, k)
+                GIIT_t = jnp.sum(GIIT * row_t[None], axis=1)
+                brow = -GII_t * mask                     # (WB, k) = -G[t,P]
+                crow = -GIIT_t * mask                    # (WB, k) = -G[P,t]
                 Wv = winv_ref[...]
                 Wc = jnp.sum(Wv * crow[:, None, :], axis=2)
                 bW = jnp.sum(Wv * brow[:, :, None], axis=1)
                 bWc = jnp.sum(brow * Wc, axis=1, keepdims=True)
                 onehot_t = jnp.where(lane_k == t, jnp.asarray(1.0, dtype),
                                      jnp.asarray(0.0, dtype))
-                G_tt = jnp.sum(GII[:, t, :] * onehot_t, axis=1,
-                               keepdims=True)
+                G_tt = jnp.sum(GII_t * onehot_t, axis=1, keepdims=True)
                 r_flv = 1.0 + delta * (1.0 - G_tt) - delta * bWc
                 R = gb * r_flv * r_flv
                 accept = u < R                           # R >= 0 (see above)

@@ -653,15 +653,22 @@ def _batched_submatrix_kernel(k_sub, scal_ref, ga_ref, order_ref, pall_ref,
             bosonR = jnp.exp(alpha * g_hs * d_eta)
             delta = jnp.exp(g_hs * d_eta) - 1.0          # (WB, 1)
 
-            brow = -GII[:, t, :] * mask                  # (WB, k) = -G[t,P]
-            crow = -GIIT[:, t, :] * mask                 # (WB, k) = -G[P,t]
+            # row t of GII/GIIT as a masked reduction: Mosaic has no
+            # dynamic_slice on VMEM *values*, only pl.ds on refs — a
+            # (k, k) VPU select+sum is free at k <= 32
+            row_t = jnp.where(sub_kk == t, jnp.asarray(1.0, dtype),
+                              jnp.asarray(0.0, dtype))   # (k, k), row t ones
+            GII_t = jnp.sum(GII * row_t[None], axis=1)   # (WB, k) = GII[:,t,:]
+            GIIT_t = jnp.sum(GIIT * row_t[None], axis=1)
+            brow = -GII_t * mask                         # (WB, k) = -G[t,P]
+            crow = -GIIT_t * mask                        # (WB, k) = -G[P,t]
             W = winv_ref[...]                            # (WB, k, k)
             Wc = jnp.sum(W * crow[:, None, :], axis=2)   # (WB, k)
             bW = jnp.sum(W * brow[:, :, None], axis=1)   # (WB, k)
             bWc = jnp.sum(brow * Wc, axis=1, keepdims=True)
             onehot_t = jnp.where(lane_k == t, jnp.asarray(1.0, dtype),
                                  jnp.asarray(0.0, dtype))
-            G_tt = jnp.sum(GII[:, t, :] * onehot_t, axis=1, keepdims=True)
+            G_tt = jnp.sum(GII_t * onehot_t, axis=1, keepdims=True)
             r_flv = 1.0 + delta * (1.0 - G_tt) - delta * bWc
             R = gammaR * bosonR * r_flv * r_flv          # det_power = 2
             accept = u < jnp.minimum(jnp.asarray(1.0, dtype), jnp.abs(R))
