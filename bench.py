@@ -49,7 +49,8 @@ def log(*a):
 
 
 def tpu_throughput(n_walkers: int, inner: int, reps: int,
-                   checkerboard: bool = False, dtype_name: str = "float32"):
+                   checkerboard: bool = False, dtype_name: str = "float32",
+                   site_update: str = "delayed"):
     """Measure sweep-pair throughput; returns (rate, steady_err_max, acc).
 
     Precision accounting: err stats are RESET after the warmup chunk, so the
@@ -94,9 +95,14 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
             raise NotImplementedError("df32 mode: dense kinetics only")
         aux = df_aux_build(lat, U=U, t=1.0, mu=MU, beta=BETA, nt=NT,
                            n_flavor=model.n_flavor)
-        cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
+        cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True,
+                           submatrix_rank=32 if site_update == "submatrix"
+                           else 0)
     elif fused:
-        cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True)
+        cfg = EngineConfig(nt=NT, n_stab=NSTAB, use_pallas=True,
+                           submatrix_rank=32 if site_update == "submatrix"
+                           else 0,
+                           fused_update=site_update)
         fused = supports_fused(model, cfg)
     else:
         cfg = EngineConfig(nt=NT, n_stab=NSTAB, delay_rank=32)
@@ -382,6 +388,12 @@ def main():
                    help="benchmark the full measured iteration (sweep pair "
                         "+ unequal-time sweep + measurements) instead of "
                         "the bare sweep pair")
+    p.add_argument("--site-update", choices=("delayed", "submatrix"),
+                   default="delayed",
+                   help="in-slice Metropolis algorithm: delayed rank-k "
+                        "buffers, or the submatrix scheme (O(k^2)/site "
+                        "bordered-Woodbury decisions — the large-lattice "
+                        "option, NOTES.md)")
     p.add_argument("--measure-precision", choices=("engine", "tf32", "df32"),
                    default="engine",
                    help="with --measured: rebuild the equal-time "
