@@ -367,7 +367,7 @@ def _panel_call(P: DF):
     return DF(qh, ql), DF(rhx[..., ::_X], rlx[..., ::_X])
 
 
-def df_qr_hybrid(A: DF):
+def df_qr_hybrid(A: DF, *, loop: bool | None = None):
     """(Q, R) of a df batch (..., n, n): XLA external CGS2 + Pallas
     panels.
 
@@ -378,11 +378,25 @@ def df_qr_hybrid(A: DF):
     ops/qr_kernel.cgs2_qr) and n <= 512 (the exact-f32 class-sum bound
     for the digit-plane dots); everything else falls back to the XLA
     path.
+
+    ``loop=True`` selects the rolled variant (`_df_qr_hybrid_loop`): one
+    ``lax.fori_loop`` body shared by all n/32 panels, with fixed-shape
+    zero-padded projections — arithmetic identical (exactly-zero rows
+    contribute exact zeros through the digit-plane matmul, see
+    ops/df32._digit_planes' zero guard) but the traced graph and the
+    Mosaic/XLA compile shrink ~(n/32)x, attacking the df32 engine's
+    cold-compile cost.  Default: DQMC_DF_QR_LOOP env (1/0), else the
+    unrolled path (hardware-validated).
     """
     n = A.hi.shape[-1]
     if n % _BLOCK or n > 512:
         from dqmc_tpu.ops.df_qr import df_qr
         return df_qr(A)
+    if loop is None:
+        import os
+        loop = os.environ.get("DQMC_DF_QR_LOOP", "") in ("1", "on", "true")
+    if loop:
+        return _df_qr_hybrid_loop(A)
     block = _BLOCK
     QT = _t(A)
     batch = A.hi.shape[:-2]
@@ -404,3 +418,77 @@ def df_qr_hybrid(A: DF):
         rt = DF(rt.hi.at[..., p:p + block, p:p + block].set(Rg.hi),
                 rt.lo.at[..., p:p + block, p:p + block].set(Rg.lo))
     return _t(QT), _t(rt)
+
+
+def _df_qr_hybrid_loop(A: DF):
+    """Rolled df_qr_hybrid: one shared panel body, fixed shapes.
+
+    Differences from the unrolled path, each arithmetic-neutral:
+
+    - projections run against the FULL row buffer with unfinished rows
+      zero-masked instead of a growing (p, n) slice — extra terms are
+      exact zeros (digit planes of a zero row are zero int8 planes, the
+      int32 dot accumulates them exactly), so C and the update match the
+      variable-shape matmul bit for bit;
+    - panel 0 runs the same two projection passes against an all-zero
+      buffer (C = 0 exactly; df32.sub(P, 0) renormalizes (hi, lo) of the
+      already-normalized input, a value-identical no-op) instead of
+      skipping them;
+    - the R row block is assembled per panel (coefficients + diagonal
+      block overlaid at the dynamic column offset) and written with one
+      dynamic_update_slice per word.
+
+    Cost: the projection matmuls are (32, n) x (n, n) regardless of
+    panel index — ~2x the unrolled path's average projection FLOPs —
+    in exchange for a traced graph (and compile) ~(n/32)x smaller.
+    """
+    block = _BLOCK
+    n = A.hi.shape[-1]
+    batch = A.hi.shape[:-2]
+    row_ax = A.hi.ndim - 2
+    col_ax = A.hi.ndim - 1
+    QT = _t(A)
+    zeros = jnp.zeros(batch + (n, n), jnp.float32)
+    # (n, 1) row-index column, broadcast over batch and lanes
+    ridx = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def body(ip, carry):
+        QTh, QTl, rth, rtl = carry
+        p = ip * block
+        P = DF(jax.lax.dynamic_slice_in_dim(QTh, p, block, axis=row_ax),
+               jax.lax.dynamic_slice_in_dim(QTl, p, block, axis=row_ax))
+        done = ridx < p
+        Qd = DF(jnp.where(done, QTh, 0), jnp.where(done, QTl, 0))
+        C_tot = DF(jnp.zeros(batch + (block, n), jnp.float32),
+                   jnp.zeros(batch + (block, n), jnp.float32))
+        for _ in range(2):
+            C = df32.matmul(P, _t(Qd))
+            P = df32.sub(P, df32.matmul(C, Qd))
+            # component-wise accumulation, matching the unrolled path's
+            # .add on each word
+            C_tot = DF(C_tot.hi + C.hi, C_tot.lo + C.lo)
+        Q, Rg = _panel_call(P)
+        QTh = jax.lax.dynamic_update_slice_in_dim(QTh, Q.hi, p, axis=row_ax)
+        QTl = jax.lax.dynamic_update_slice_in_dim(QTl, Q.lo, p, axis=row_ax)
+        # C_tot columns >= p are exact zeros; overlaying Rg at column p
+        # reproduces the unrolled path's block .set
+        rowh = jax.lax.dynamic_update_slice_in_dim(C_tot.hi, Rg.hi, p,
+                                                   axis=col_ax)
+        rowl = jax.lax.dynamic_update_slice_in_dim(C_tot.lo, Rg.lo, p,
+                                                   axis=col_ax)
+        rth = jax.lax.dynamic_update_slice_in_dim(rth, rowh, p, axis=row_ax)
+        rtl = jax.lax.dynamic_update_slice_in_dim(rtl, rowl, p, axis=row_ax)
+        return QTh, QTl, rth, rtl
+
+    carry = (QT.hi, QT.lo, zeros, zeros)
+    if jax.default_backend() == "cpu":
+        # eager CPU (the test harness): a Python loop keeps the df
+        # arithmetic out of compiled XLA:CPU units (the LLVM
+        # reassociation bug, ops/df_linalg.py docstring); lax.fori_loop
+        # would compile its body even outside jit
+        for ip in range(n // block):
+            carry = body(jnp.int32(ip), carry)
+    else:
+        carry = jax.lax.fori_loop(0, n // block, body, carry)
+    QTh, QTl, rth, rtl = carry
+    return _t(DF(QTh, QTl)), _t(DF(rth, rtl))

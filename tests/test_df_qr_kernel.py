@@ -65,6 +65,20 @@ def test_hybrid_identity_padding_falls_back():
     assert back < 1e-12
 
 
+def test_rolled_loop_matches_unrolled():
+    # the fori_loop variant (fixed-shape zero-padded projections, shared
+    # panel body) must reproduce the unrolled hybrid: extra projection
+    # terms are exact zeros through the digit-plane matmul
+    rng = np.random.default_rng(13)
+    A64, Adf = _graded(rng, 2, 64, 6.0)
+    Qu, Ru = df_qr_kernel.df_qr_hybrid(Adf, loop=False)
+    Ql, Rl = df_qr_kernel.df_qr_hybrid(Adf, loop=True)
+    np.testing.assert_array_equal(np.asarray(Qu.hi), np.asarray(Ql.hi))
+    np.testing.assert_array_equal(np.asarray(Qu.lo), np.asarray(Ql.lo))
+    np.testing.assert_array_equal(np.asarray(Ru.hi), np.asarray(Rl.hi))
+    np.testing.assert_array_equal(np.asarray(Ru.lo), np.asarray(Rl.lo))
+
+
 def test_vmapped_call_flattens():
     rng = np.random.default_rng(11)
     A64, Adf = _graded(rng, 4, 32, 3.0)
