@@ -184,7 +184,8 @@ def _f32_qr(A_hi: jax.Array):
     return jnp.linalg.qr(A_hi)
 
 
-def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32):
+def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32,
+                   Yt: DF | None = None):
     """X = M^{-1} Y and log|det M| via f32 QR + multiword iterative
     refinement.
 
@@ -196,7 +197,13 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32):
     re-solving the same df factors exactly), with 3 it converges to the
     df factor floor.  tf32 default n_ir=8: the ~5e-3 contraction needs
     ~8 steps to reach the ~2^-68 tf floor; the residual is computed in
-    tf so the floor is genuine."""
+    tf so the floor is genuine.
+
+    ``Yt`` (optional): a second right-hand side solved against M^T with
+    the SAME f32 factors (M^T x = y -> x = Q R^{-T} y, refined against
+    the multiword M^T) — the role-swapped solve of the unequal-time
+    triplet (ops/linalg.inv_triplet_dag).  Returns (X, logabs, Xt) when
+    given, (X, logabs) otherwise."""
     if n_ir is None:
         n_ir = 3 if nm is df32 else 8
     Q, R = _f32_qr(Mdf.hi)
