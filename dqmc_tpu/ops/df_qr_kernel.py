@@ -385,8 +385,14 @@ def df_qr_hybrid(A: DF, *, loop: bool | None = None):
     contribute exact zeros through the digit-plane matmul, see
     ops/df32._digit_planes' zero guard) but the traced graph and the
     Mosaic/XLA compile shrink ~(n/32)x, attacking the df32 engine's
-    cold-compile cost.  Default: DQMC_DF_QR_LOOP env (1/0), else the
-    unrolled path (hardware-validated).
+    cold-compile cost.  Default: the DQMC_DF_QR_LOOP env var (truthy
+    values: "1", "on", "true"), else the unrolled path
+    (hardware-validated).
+
+    NOTE the env var is read at TRACE time and baked into any jitted
+    graph: flipping it after a function has compiled has no effect on
+    that cache entry.  Set it before the first df QR call (or pass
+    ``loop=`` explicitly).
     """
     n = A.hi.shape[-1]
     if n % _BLOCK or n > 512:

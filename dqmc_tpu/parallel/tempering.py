@@ -371,34 +371,63 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         log(f"Thermalization transient precision error = {therm_err_max:.4e}")
     states = jax.jit(jax.vmap(reset_error_stats))(states)
 
+    # --- fused measured iterations between exchange attempts ---
+    # The reference cadence (main.cpp:147-171): an exchange attempt
+    # precedes sweep number k*sweep_steps; every sweep is measured; bins
+    # close every n_sweeps.  Exchange attempts stay host-side (they are
+    # infrequent and carry host RNG/stat bookkeeping); the sweeps BETWEEN
+    # events run as ONE jitted scan of the fused measured iteration —
+    # the same ~2x host-dispatch elimination run.py's bin loop got
+    # (measure.manager.make_measured_iter).
+    iter_fn, zero_acc = manager.make_measured_iter(
+        step, (lambda s: uneq_step(models, s))
+        if (uneq and uneq_fn is not None) else None,
+        warp_fn=(lambda G: warp(models, G)) if symmetric else None,
+        signed=signed)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def seg_fn(states, acc, n):
+        def body(c, _):
+            return iter_fn(*c), None
+        (states, acc), _ = jax.lax.scan(body, (states, acc), None, length=n)
+        return states, acc
+
+    def do_exchange():
+        nonlocal states, attempt, accepted, key
+        attempt += 1
+        key, k_ex = jax.random.split(key)
+        if df_mode:
+            states, acc = replica_exchange_df(
+                auxs, cfg, states, jnp.asarray(attempt), k_ex,
+                det_power=models.det_power)
+        else:
+            states, acc = replica_exchange(models, cfg, states,
+                                           jnp.asarray(attempt), k_ex,
+                                           f64_actions=f64_actions)
+        accepted += float(jnp.mean(acc))
+
     err_uneq_max = 0.0
     total = (n_bins - start_bin) * n_sweeps
     t0 = time.perf_counter()
-    for isweep in range(1, total + 1):
-        if isweep % exchange_step == 0:
-            attempt += 1
-            key, k_ex = jax.random.split(key)
-            if df_mode:
-                states, acc = replica_exchange_df(
-                    auxs, cfg, states, jnp.asarray(attempt), k_ex,
-                    det_power=models.det_power)
-            else:
-                states, acc = replica_exchange(models, cfg, states,
-                                               jnp.asarray(attempt), k_ex,
-                                               f64_actions=f64_actions)
-            accepted += float(jnp.mean(acc))
-        states = step(states)
-        if uneq and uneq_fn is not None:
-            ys, err_u = uneq_step(models, states)
-            if signed:   # sign-weight tau-resolved data too (cf. run.py)
-                s = states.sign.reshape((-1,) + (1,) * 4)
-                ys = {k: v * s for k, v in ys.items()}
-            manager.measure_unequal_result(ys)
-            err_uneq_max = max(err_uneq_max, float(jnp.max(err_u)))
-        G = warp(models, states.G) if symmetric else states.G
-        manager.measure_equal(G, signs=states.sign if signed else None)
-        if isweep % n_sweeps == 0:
-            manager.accumulate()
+    s_done = 0
+    acc_bin = zero_acc(states)
+    n_acc = 0
+    while s_done < total:
+        if (s_done + 1) % exchange_step == 0:
+            do_exchange()
+        r = (s_done + 1) % exchange_step
+        n_ex = exchange_step if r == 0 else exchange_step - r
+        n_bin = n_sweeps - (s_done % n_sweeps)
+        n = min(n_ex, n_bin, total - s_done)
+        states, acc_bin = seg_fn(states, acc_bin, n)
+        s_done += n
+        n_acc += n
+        if s_done % n_sweeps == 0:
+            err_uneq_max = max(
+                err_uneq_max,
+                manager.ingest_bin(jax.device_get(acc_bin), n_acc))
+            acc_bin = zero_acc(states)
+            n_acc = 0
             if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:
                 save_ckpt()
     jax.block_until_ready(states.G)
