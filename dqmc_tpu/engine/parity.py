@@ -176,6 +176,201 @@ def parity_rebuild_greens(model, cfg: EngineConfig, fields: jax.Array,
                          use_scan=False)
 
 
+def _identity_ldr(ns: int, nm):
+    eye = nm.df(jnp.eye(ns, dtype=jnp.float32))
+    return df_linalg.LDRdf(eye, nm.df(jnp.ones(ns, jnp.float32)), eye)
+
+
+def _slice_invB(model, invexpK, fields_l: jax.Array, nm):
+    """Multiword B_l^{-1} = invexpK @ diag(1/expV(s_l)) (column scaling)."""
+    tbl = nm.from_f64(jnp.asarray(1.0 / _expv_table_f64(model)))
+
+    def sel(comp):
+        out = jnp.zeros(fields_l.shape, jnp.float32)
+        for v in range(4):
+            out = jnp.where(fields_l == v, comp[v], out)
+        return out
+
+    ev = nm.cmap(sel, tbl)
+    ev = nm.cmap(lambda c: c[..., None, :], ev)
+    return nm.mul(invexpK, ev)
+
+
+def _scan(f, carry, xs, use_scan: bool):
+    """lax.scan, or an eager Python loop over the leading axis.
+
+    The loop form exists for CPU: XLA:CPU's backend codegen corrupts
+    fused multiword graphs inside compiled scan bodies (module docstring
+    of ops/df_linalg.py; measured again here — the jitted uneq scan
+    degrades the df tier from ~1e-8 to 2.3e-5 on CPU while TPU compiles
+    the same body bit-stably).  Eager per-primitive execution restores
+    the tier at Python-loop speed, which tests accept."""
+    if use_scan:
+        return jax.lax.scan(f, carry, xs)
+    length = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    ys = []
+    for i in range(length):
+        x = jax.tree_util.tree_map(lambda a: a[i], xs)
+        carry, y = f(carry, x)
+        ys.append(y)
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *ys)
+    return carry, stacked
+
+
+def _divisor_stride(nt: int, want: int) -> int:
+    """Largest stabilization stride <= want that divides nt (the
+    block-structured scans need exact blocking)."""
+    s = max(1, min(want, nt))
+    while nt % s:
+        s -= 1
+    return s
+
+
+def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
+                        symmetric: bool = False,
+                        n_stab: int | None = None,
+                        use_scan: bool | None = None):
+    """Batched measurement-grade unequal-time sweep.
+
+    Returns ``uneq_step(states) -> (ys, err)`` for
+    measure.manager.make_measured_iter: the full tau-resolved triplet
+    (Gtt, Gt0, G0t)(tau) is rebuilt from the walker's FIELDS at nm
+    precision — the measurement-tier twin of engine.uneqtime
+    .sweep_unequal_time (dqmc.cpp:458-514), so greenTau / doublonTau /
+    currxxTau (model.cpp:290-392, the superfluid-stiffness input) reach
+    the same grade as the equal-time tier (<1e-10 at nm=tf32) instead
+    of the sampling engine's f32.
+
+    Structure mirrors the reference's measurement sweep exactly:
+    a multiword suffix stack B(beta, k*n_stab)^T built once per call,
+    then a forward block scan that propagates the triplet slice by
+    slice (5 multiword matmuls per slice), restabilizes at block ends
+    through the shared-factorization inv_triplet_dag, and emits
+    ``measure_fn(Gtt, Gt0, G0t, G00)`` per tau on the f64 views.
+    ``err`` is the propagated-vs-stabilized self-check at the tier's
+    own grade (the check_error analogue, dqmc.cpp:500-511).
+    """
+    _check_model(model64)
+    if use_scan is None:
+        # default: compiled scan (the production driver jits the whole
+        # measured iteration, where an unrolled multiword chain would be
+        # a 100k-op HLO).  Tests that need the tier's true grade on CPU
+        # pass use_scan=False and call eagerly (see _scan).
+        use_scan = True
+    ns = model64.n_sites
+    nt = cfg.nt
+    if n_stab is None or n_stab <= 0:
+        # Unlike the equal-time fold (which re-equilibrates at every QR),
+        # the within-block wraps here propagate NAIVELY, so the tier
+        # floor is amplified by cond(B_block)^2 ~ e^{4 dtau W stride}.
+        # Measured at dtau = 0.2 (tests/test_parity.py chain): df32 reads
+        # 2.5e-5 at stride*dtau = 1.0, 2.3e-9 at 0.4, 4.6e-11 at 0.2;
+        # tf32 keeps <1e-10 at 1.0 (its 2^-68 floor has 1e5 headroom).
+        # df32's default stride is therefore capped at 0.4/dtau so the
+        # advertised ~1e-8 grade survives the propagation; tf32 keeps the
+        # engine's schedule (the reference's own, dqmc.cpp:481-512).
+        n_stab = cfg.n_stab
+        if nm is df32:
+            dtau = float(model64.beta) / nt
+            n_stab = max(1, min(n_stab, int(0.4 / dtau)))
+    n_stab = _divisor_stride(nt, n_stab)
+    n_stack = nt // n_stab
+    expK = nm.from_f64(model64.expK)
+    invexpK = nm.from_f64(model64.invexpK)
+    left = nm.from_f64(model64.invexpK_half)
+    right = nm.from_f64(model64.expK_half)
+    eye32 = jnp.eye(ns, dtype=jnp.float32)
+
+    def warp_m(G):
+        # engine.sweep.half_warp convention: G~ = invexpK_half @ G @ expK_half
+        return nm.matmul(nm.matmul(left, G), right) if symmetric else G
+
+    def one(fields):
+        blocks = fields[:nt].reshape(n_stack, n_stab, -1)
+
+        def block_product(fields_blk):
+            Bbar = nm.df(eye32)
+            for i in range(n_stab):
+                Bbar = nm.matmul(_slice_B(model64, expK, fields_blk[i], nm),
+                                 Bbar)
+            return Bbar
+
+        # phase A: suffix LDR stack at block boundaries.  F2t[k] holds
+        # B(beta, k*n_stab)^T; F2t[n_stack] = identity (the identity
+        # padding that kills the reference's tau = beta special case,
+        # dqmc.cpp:265-274).
+        def suf_body(F, fields_blk):
+            BbarT = df_linalg.transpose(block_product(fields_blk))
+            F2 = df_linalg.mat_mul_ldr(BbarT, F, nm=nm)
+            return F2, F2
+
+        F_id = _identity_ldr(ns, nm)
+        _, suffixes_rev = _scan(suf_body, F_id, blocks[::-1], use_scan)
+        suffixes = jax.tree_util.tree_map(lambda a: a[::-1], suffixes_rev)
+        # boundaries 1..n_stack consumed by the forward scan (k+1-th)
+        bounds = jax.tree_util.tree_map(
+            lambda a, i: jnp.concatenate([a[1:], i[None]]), suffixes,
+            F_id)
+
+        F2t_0 = jax.tree_util.tree_map(lambda a: a[0], suffixes)
+        G00, _ = df_linalg.inv_one_plus_ldr_dag(
+            df_linalg.to_ldr(nm.df(eye32), nm=nm), F2t_0, nm=nm)
+        G00_64 = nm.to_f64(warp_m(G00))[None]
+
+        def emit64(Gtt, Gt0, G0t):
+            return measure_fn(nm.to_f64(warp_m(Gtt))[None],
+                              nm.to_f64(warp_m(Gt0))[None],
+                              nm.to_f64(warp_m(G0t))[None], G00_64)
+
+        def blk_body(carry, xs):
+            Gtt, Gt0, G0t, Bt0, emax = carry
+            fields_blk, F2t_next = xs
+            Bbar = nm.df(eye32)
+            outs = []
+            for k in range(n_stab):
+                B = _slice_B(model64, expK, fields_blk[k], nm)
+                invB = _slice_invB(model64, invexpK, fields_blk[k], nm)
+                Gtt = nm.matmul(nm.matmul(B, Gtt), invB)
+                Gt0 = nm.matmul(B, Gt0)
+                G0t = nm.matmul(G0t, invB)
+                Bbar = nm.matmul(B, Bbar)
+                if k == n_stab - 1:
+                    Bt0 = df_linalg.mat_mul_ldr(Bbar, Bt0, nm=nm)
+                    Gtt_s, Gt0_s, G0t_s, _ = df_linalg.inv_triplet_dag(
+                        Bt0, F2t_next, nm=nm)
+                    err = jnp.zeros((), jnp.float64)
+                    for a, b in ((Gtt, Gtt_s), (Gt0, Gt0_s), (G0t, G0t_s)):
+                        err = jnp.maximum(err, jnp.max(jnp.abs(
+                            nm.to_f64(a) - nm.to_f64(b))))
+                    emax = jnp.maximum(emax, err)
+                    Gtt, Gt0, G0t = Gtt_s, Gt0_s, G0t_s
+                outs.append((Gtt, Gt0, G0t))
+            stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *outs)
+            ys = jax.vmap(emit64)(*stacked)
+            return (Gtt, Gt0, G0t, Bt0, emax), ys
+
+        carry0 = (G00, G00, nm.sub(G00, nm.df(eye32)), _identity_ldr(ns, nm),
+                  jnp.zeros((), jnp.float64))
+        (Gtt, Gt0, G0t, Bt0, emax), ys = _scan(
+            blk_body, carry0, (blocks, bounds), use_scan)
+        ys = jax.tree_util.tree_map(
+            lambda a: a.reshape((nt,) + a.shape[2:]), ys)
+        y0 = emit64(G00, G00, nm.sub(G00, nm.df(eye32)))
+        ys = jax.tree_util.tree_map(
+            lambda f, r: jnp.concatenate([f[None], r], axis=0), y0, ys)
+        return ys, emax
+
+    if use_scan:
+        return lambda states: jax.vmap(one)(states.fields)
+
+    def eager_batched(states):
+        outs = [one(states.fields[w])
+                for w in range(states.fields.shape[0])]
+        return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *outs)
+
+    return eager_batched
+
+
 def measurement_greens_fn(model64, cfg: EngineConfig, nm, *,
                           symmetric: bool = False,
                           n_stab: int | None = None):

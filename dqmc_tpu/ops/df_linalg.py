@@ -202,8 +202,8 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32,
     ``Yt`` (optional): a second right-hand side solved against M^T with
     the SAME f32 factors (M^T x = y -> x = Q R^{-T} y, refined against
     the multiword M^T) — the role-swapped solve of the unequal-time
-    triplet (ops/linalg.inv_triplet_dag).  Returns (X, logabs, Xt) when
-    given, (X, logabs) otherwise."""
+    triplet (inv_triplet_dag below / ops/linalg.inv_triplet_dag).
+    Returns (X, logabs, Xt) when given, (X, logabs) otherwise."""
     if n_ir is None:
         n_ir = 3 if nm is df32 else 8
     Q, R = _f32_qr(Mdf.hi)
@@ -218,6 +218,22 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32,
         r = nm.sub(Y, nm.matmul(Mdf, X))
         X = nm.add(X, nm.df(f32_solve(r.hi)))
 
+    Xt = None
+    if Yt is not None:
+        # M^T x = y with the same factors: M = Q R => M^T = R^T Q^T,
+        # x = Q R^{-T} y; IR residuals against the multiword M^T
+        RT = jnp.swapaxes(R, -1, -2)
+
+        def f32_solve_t(rhs32):
+            return jnp.matmul(Q, jax.lax.linalg.triangular_solve(
+                RT, rhs32, left_side=True, lower=True))
+
+        Mt = transpose(Mdf)
+        Xt = nm.df(f32_solve_t(Yt.hi))
+        for _ in range(n_ir):
+            rt = nm.sub(Yt, nm.matmul(Mt, Xt))
+            Xt = nm.add(Xt, nm.df(f32_solve_t(rt.hi)))
+
     # log|det M| = log|det R'| - log|det Q| with R' = Q^T M refined in
     # multiword (one matmul; the f32 diag(R) alone carries only ~2^-23).
     # det Q is NOT 1 at f32-CGS2 grade: Q^T Q = I + E with E ~ 1e-5, and
@@ -231,20 +247,18 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32,
     E_diag = _diag(nm.matmul(nm.df(QT32), Qnm))
     log_q = 0.5 * jnp.sum(nm.to_f64(E_diag) - 1.0, axis=-1)
     logabs = (jnp.sum(jnp.log(jnp.abs(nm.to_f64(diag))), axis=-1) - log_q)
+    if Yt is not None:
+        return X, logabs, Xt
     return X, logabs
 
 
-def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
-    """G = [I + F1_matrix @ F2t_matrix^T]^{-1} and log|det|, multiword.
-
-    The dag (transpose-suffix) formulation of ops/linalg.py: F2t holds
-    the LDR of B(beta,tau)^T, the middle matrix
+def _middle_matrix(F1: LDRdf, F2t: LDRdf, nm=df32):
+    """The equilibrated middle matrix shared by every dag inverse
+    (stablelinalg.cpp:94-190 splitting, transpose-suffix orientation):
 
         M = D1l^{-1} (L1^T L2) D2l^{-1} + D1s (R1 R2^T) D2s
 
-    is equilibrated, and G = (L2 / d2l) M^{-1} (L1^T / d1l)
-    (cf. stablelinalg.cpp:94-126).
-    """
+    Returns (M, d-scale splits) so callers assemble their own G."""
     d1l, d1s = _split_scales(F1.d, nm=nm)
     d2l, d2s = _split_scales(F2t.d, nm=nm)
     inv_d1l = nm.div(nm.df(jnp.ones_like(d1l.hi)), d1l)
@@ -258,7 +272,19 @@ def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
     termB = nm.mul(termB, _bcast_col(d1s, shape))
     termB = nm.mul(termB, _bcast_row(d2s, shape))
     M = nm.add(termA, termB)
+    return M, L1T, (d1l, d1s, inv_d1l), (d2l, d2s, inv_d2l)
 
+
+def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
+    """G = [I + F1_matrix @ F2t_matrix^T]^{-1} and log|det|, multiword.
+
+    The dag (transpose-suffix) formulation of ops/linalg.py: F2t holds
+    the LDR of B(beta,tau)^T, the middle matrix is equilibrated, and
+    G = (L2 / d2l) M^{-1} (L1^T / d1l) (cf. stablelinalg.cpp:94-126).
+    """
+    M, L1T, (d1l, _, inv_d1l), (d2l, _, inv_d2l) = _middle_matrix(
+        F1, F2t, nm=nm)
+    shape = L1T.hi.shape
     Y = nm.mul(L1T, _bcast_col(inv_d1l, shape))
     X, logabs = _solve_refined(M, Y, nm=nm)
     W2 = nm.mul(F2t.L, _bcast_row(inv_d2l, shape))
@@ -267,3 +293,40 @@ def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
                + jnp.sum(jnp.log(nm.to_f64(d2l)), axis=-1)
                + logabs)
     return G, log_det
+
+
+def inv_triplet_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
+    """All three unequal-time Green's functions at multiword grade.
+
+    The measurement-tier twin of ops/linalg.inv_triplet_dag
+    (stablelinalg.cpp:160-190, dqmc.cpp:264-280): with B1 = F1 (normal
+    form, B(tau,0)) and B2 = F2t_matrix^T (transpose form, B(beta,tau)),
+
+        Gtt = [I + B1 B2]^{-1}         G = (L2/d2l) M^{-1} (L1^T/d1l)
+        Gt0 = [B1^{-1} + B2]^{-1}      G = (L2/d2l) M^{-1} (D1s R1)
+        G0t = -[B2^{-1} + B1]^{-1}     via M^T (role swap transposes M)
+
+    One f32 factorization of the shared middle matrix M serves all
+    three: Gtt/Gt0 refine two stacked right-hand sides against M, G0t
+    refines against M^T with the same Q/R factors (_solve_refined's Yt
+    path).  Returns (Gtt, Gt0, G0t, log_det) as nm tuples / f64 scalar.
+    """
+    M, L1T, (d1l, d1s, inv_d1l), (d2l, d2s, inv_d2l) = _middle_matrix(
+        F1, F2t, nm=nm)
+    shape = L1T.hi.shape
+    n = F1.n
+    Ytt = nm.mul(L1T, _bcast_col(inv_d1l, shape))
+    Yt0 = nm.mul(F1.R, _bcast_col(d1s, shape))
+    Y = nm.cmap(lambda a, b: jnp.concatenate([a, b], axis=-1), Ytt, Yt0)
+    Y0t = nm.mul(F2t.R, _bcast_col(d2s, shape))
+    X, logabs, Xt = _solve_refined(M, Y, nm=nm, Yt=Y0t)
+
+    W2 = nm.mul(F2t.L, _bcast_row(inv_d2l, shape))
+    Gtt = nm.matmul(W2, nm.cmap(lambda c: c[..., :, :n], X))
+    Gt0 = nm.matmul(W2, nm.cmap(lambda c: c[..., :, n:], X))
+    W1 = nm.mul(F1.L, _bcast_row(inv_d1l, shape))
+    G0t = transpose(nm.neg(nm.matmul(W1, Xt)))
+    log_det = (jnp.sum(jnp.log(nm.to_f64(d1l)), axis=-1)
+               + jnp.sum(jnp.log(nm.to_f64(d2l)), axis=-1)
+               + logabs)
+    return Gtt, Gt0, G0t, log_det

@@ -459,7 +459,9 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     # symmetric=true warps the tau-resolved Green's functions too
     # (dqmc.cpp:300-312).  Built after thermalization: n_stab may have
     # adapted, and the measurement phase uses the settled schedule.
-    if df_mode:
+    if measure_prec != "engine" and uneq and uneq_fn is not None:
+        uneq_step = None       # built below at measurement-tier grade
+    elif df_mode:
         # tau-resolved reconstruction runs the f32 uneq sweep on the
         # hi-rounded df stack (see engine.df_sweep.f32_view)
         from dqmc_tpu.engine.df_sweep import f32_view as _f32_view
@@ -491,7 +493,8 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     t0 = time.perf_counter()
     greens_fn = None
     if measure_prec != "engine":
-        from dqmc_tpu.engine.parity import measurement_greens_fn
+        from dqmc_tpu.engine.parity import (measurement_greens_fn,
+                                            measurement_uneq_fn)
         from dqmc_tpu.ops import df32 as _nm_df32, tf32 as _nm_tf32
         nm_meas = _nm_tf32 if measure_prec == "tf32" else _nm_df32
         model64 = model_cls.from_params(params, lat, dtype=jnp.float64)
@@ -502,6 +505,18 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         log(f"Measurement tier: equal-time G rebuilt at {measure_prec} "
             f"({'<1e-10' if measure_prec == 'tf32' else '~1e-8'} "
             f"fixed-field accuracy)")
+        if uneq and uneq_fn is not None:
+            # tau-resolved tier: the triplet rebuilt from the fields at
+            # the same multiword grade (propagation keeps the ENGINE
+            # stride — naive within-block wraps have no precision
+            # headroom for a wider one, unlike the equal-time fold)
+            uneq_stab = params.get_int("simulation", "measure_uneq_n_stab",
+                                       0)
+            uneq_step = measurement_uneq_fn(
+                model64, cfg, nm_meas, uneq_fn, symmetric=symmetric,
+                n_stab=uneq_stab if uneq_stab > 0 else None)
+            log(f"Measurement tier: tau-resolved Gt0/G0t/Gtt rebuilt at "
+                f"{measure_prec}")
     iter_fn, zero_acc = manager.make_measured_iter(
         step, uneq_step if (uneq and uneq_fn is not None) else None,
         warp_fn=warp if (symmetric and greens_fn is None) else None,

@@ -197,3 +197,60 @@ def test_chain_rebuild_beta8(rng):
         linalg.identity_ldr(n, jnp.float64), F2t64)
     err = np.abs(_to64(G) - np.asarray(G64)).max()
     assert err < 1e-7, err
+
+
+def _stab64_prefix(Bs, n_stab):
+    """f64 stabilized prefix chain B(tau,0) in normal form."""
+    F1 = None
+    n = Bs[0].shape[0]
+    for i_blk in range(-(-len(Bs) // n_stab)):
+        blk = Bs[i_blk * n_stab:(i_blk + 1) * n_stab]
+        Bbar = np.eye(n)
+        for B in blk:
+            Bbar = B @ Bbar
+        M = jnp.asarray(Bbar)
+        F1 = (linalg.to_ldr(M) if F1 is None
+              else linalg.mat_mul_ldr(M, F1))
+    return F1
+
+
+def _df_prefix(Bs, n_stab):
+    F1 = None
+    n = Bs[0].shape[0]
+    for i_blk in range(-(-len(Bs) // n_stab)):
+        blk = Bs[i_blk * n_stab:(i_blk + 1) * n_stab]
+        Bbar = np.eye(n)
+        for B in blk:
+            Bbar = B @ Bbar
+        M = _df_from64(Bbar)
+        F1 = (df_linalg.to_ldr(M) if F1 is None
+              else df_linalg.mat_mul_ldr(M, F1))
+    return F1
+
+
+def test_inv_triplet_dag_matches_f64(rng):
+    """The df measurement triplet (Gtt, Gt0, G0t) at mid-beta from the
+    shared-factorization inv_triplet_dag vs the f64 stabilized triplet
+    (stablelinalg.cpp:160-190 semantics).  This is the unequal-time
+    parity path: greenTau/doublonTau/currxxTau consume exactly these."""
+    n, nt, beta, n_stab = 36, 40, 8.0, 5
+    Bs = _b_chain(rng, n, nt, beta)
+    tau = nt // 2
+    F1 = _df_prefix(Bs[:tau], n_stab)
+    F2t = _df_suffix(Bs[tau:], n_stab)
+    Gtt, Gt0, G0t, ld = df_linalg.inv_triplet_dag(F1, F2t)
+
+    F1_64 = _stab64_prefix(Bs[:tau], n_stab)
+    F2t_64 = _stab64_suffix(Bs[tau:], n_stab)
+    Gtt64, Gt064, G0t64, ld64 = linalg.inv_triplet_dag(F1_64, F2t_64)
+
+    for got, want, name in ((Gtt, Gtt64, "Gtt"), (Gt0, Gt064, "Gt0"),
+                            (G0t, G0t64, "G0t")):
+        err = np.abs(_to64(got) - np.asarray(want)).max()
+        assert err < 5e-8, f"{name}: {err:.3e}"
+    # mid-chain log|det|: BOTH factors carry full e^{+-20} d-ladders whose
+    # log-sums accumulate the df ladder tier (4.2e-3 absolute measured on
+    # an O(330) action = 1.3e-5 relative).  The measurement path never
+    # consumes the triplet's log_det; it is asserted here only as a
+    # same-quantity sanity bound.
+    assert abs(float(ld) - float(ld64)) < 2e-2

@@ -83,3 +83,47 @@ def test_measure_precision_rejects_bad_value(tmp_path):
             BASE.format(symmetric="false",
                         extra="measure_precision = nonsense"))
         run_simulation(params, out_dir=str(tmp_path / "r"), verbose=False)
+
+
+@pytest.mark.slow
+def test_uneq_tier_e2e_minimal(tmp_path):
+    """Driver-level integration of the tau-resolved measurement tier
+    (run.py -> measurement_uneq_fn -> make_measured_iter -> h5): the
+    cheapest possible config (nt=2, n_stab=1, df32 tier) still costs
+    ~5 min of XLA:CPU compile for the fused multiword bin program — the
+    tier's numerical grade is pinned eagerly in tests/test_parity.py;
+    this test proves the production wiring end-to-end."""
+    cfgtext = """
+[Lattice]
+L1 = 4
+L2 = 4
+[hubbard]
+U = 4.0
+t = 1.0
+mu = -0.1
+[simulation]
+beta = 0.5
+nt = 2
+n_therms = 1
+n_sweeps = 1
+n_bins = 1
+n_stab = 1
+isMeasureUnequalTime = true
+seed = 7
+dtype = float32
+measure_precision = df32
+[walkers]
+n_walkers = 1
+"""
+    d = tmp_path / "uneq_tier"
+    d.mkdir()
+    params = Parameters.from_string(cfgtext)
+    run_simulation(params, out_dir=str(d / "results"), verbose=False)
+    with h5py.File(d / "results" / "data_0.h5") as f:
+        gt = np.asarray(f["/bin_0/unequaltime/greenTau"])
+        assert gt.shape == (4, 4, 3)          # (L1, L2, no^2 * (nt+1))
+        assert np.all(np.isfinite(gt))
+        cx = np.asarray(f["/bin_0/unequaltime/currxxTau"])
+        assert np.all(np.isfinite(cx))
+        dens = float(np.asarray(f["/bin_0/scalar/density"]))
+        assert 0.0 < dens < 2.0

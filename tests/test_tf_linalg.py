@@ -146,3 +146,54 @@ def test_tf_log_det_vs_gold():
     # _solve_refined) brings the log det to ~1e-8 relative; before it the
     # f32 CGS2 Q's first-order orthogonality bias capped it at ~1e-5
     assert abs(ld - ld_gold) / abs(ld_gold) < 1e-7
+
+
+def test_tf_triplet_beats_1e10_vs_gold():
+    """Unequal-time north-star pin: the tf32 measurement triplet at
+    mid-beta lands under 1e-10 vs 60-digit gold for ALL THREE Green's
+    functions — the tier greenTau/doublonTau/currxxTau consume
+    (stablelinalg.cpp:160-190, model.cpp:290-392)."""
+    rng = np.random.default_rng(3)
+    n, nt, beta, n_stab = 16, 80, 8.0, 5
+    Bs = _b_chain(rng, n, nt, beta)
+    tau = nt // 2
+
+    def _prod_mp(blocks):
+        P = mp.eye(n)
+        for B in blocks:
+            Bm = mp.matrix([[mp.mpf(float(B[i, j])) for j in range(n)]
+                            for i in range(n)])
+            P = Bm * P
+        return P
+
+    with mp.workdps(60):
+        P1 = _prod_mp(Bs[:tau])          # B(tau, 0)
+        P2 = _prod_mp(Bs[tau:])          # B(beta, tau)
+        Gtt_m = mp.inverse(mp.eye(n) + P1 * P2)
+        Gt0_m = Gtt_m * P1               # (P1^{-1} + P2)^{-1}
+        G0t_m = -mp.inverse(mp.eye(n) + P2 * P1) * P2
+        gold = [np.array([[float(M[i, j]) for j in range(n)]
+                          for i in range(n)]) for M in (Gtt_m, Gt0_m, G0t_m)]
+
+    def _tf_fold(blocks, transpose_suffix):
+        F = None
+        idx = range(-(-len(blocks) // n_stab))
+        order = reversed(idx) if transpose_suffix else idx
+        for i_blk in order:
+            blk = blocks[i_blk * n_stab:(i_blk + 1) * n_stab]
+            Bbar = np.eye(n)
+            for B in blk:
+                Bbar = B @ Bbar
+            M = tf32.from_f64(jnp.asarray(Bbar.T if transpose_suffix
+                                          else Bbar))
+            F = (df_linalg.to_ldr(M, nm=tf32) if F is None
+                 else df_linalg.mat_mul_ldr(M, F, nm=tf32))
+        return F
+
+    F1 = _tf_fold(Bs[:tau], False)
+    F2t = _tf_fold(Bs[tau:], True)
+    Gtt, Gt0, G0t, _ = df_linalg.inv_triplet_dag(F1, F2t, nm=tf32)
+    for got, want, name in ((Gtt, gold[0], "Gtt"), (Gt0, gold[1], "Gt0"),
+                            (G0t, gold[2], "G0t")):
+        err = np.abs(np.asarray(tf32.to_f64(got)) - want).max()
+        assert err < 1e-10, f"{name}: {err:.3e}"
