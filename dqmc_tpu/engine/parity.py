@@ -56,14 +56,26 @@ def _maybe_jit(f):
     return call
 
 
-def _expv_table_f64(model) -> np.ndarray:
-    """exp(g * eta(s)) for the 4 field states, f64 (4,) per flavor sign."""
+def _expv_table_f64(model, sign: float = 1.0) -> np.ndarray:
+    """exp(sign * g * eta(s)) for the 4 field states, f64 (4,).
+
+    sign selects the flavor coupling: +1 for the attractive model's
+    single stored flavor (both spins identical, model.cpp:62-72) and
+    for the repulsive model's up flavor; -1 for repulsive down
+    (models/repulsive_hubbard.expV_diag)."""
     g = float(np.asarray(model.g, np.float64))
     eta = np.asarray(hsfield.ETA, np.float64)
-    return np.exp(g * eta)
+    return np.exp(sign * g * eta)
 
 
-def _slice_B(model, expK, fields_l: jax.Array, nm):
+def _flavor_signs(model):
+    """Per-stored-flavor coupling signs (see _expv_table_f64)."""
+    if model.n_flavor == 1:
+        return (1.0,)
+    return (1.0, -1.0)
+
+
+def _slice_B(model, expK, fields_l: jax.Array, nm, sign: float = 1.0):
     """Multiword B_l = diag(expV(s_l)) @ expK (model.cpp:75-80 semantics).
 
     The diagonal scaling must be a FULL multiword multiply (a plain
@@ -71,7 +83,7 @@ def _slice_B(model, expK, fields_l: jax.Array, nm):
     at 2^-24 relative and with it the whole parity tier).  Select-chain
     over the 4 field values, not a gather (NOTES.md: tiny jnp table
     gathers lower to element-at-a-time XLA gathers)."""
-    tbl = nm.from_f64(jnp.asarray(_expv_table_f64(model)))   # (4,)
+    tbl = nm.from_f64(jnp.asarray(_expv_table_f64(model, sign)))   # (4,)
 
     def sel(comp):
         out = jnp.zeros(fields_l.shape, jnp.float32)
@@ -85,8 +97,9 @@ def _slice_B(model, expK, fields_l: jax.Array, nm):
 
 
 def _check_model(model):
-    if model.n_flavor != 1:
-        raise NotImplementedError("parity rebuild: single flavor only")
+    if model.n_flavor not in (1, 2):
+        raise NotImplementedError(
+            "parity rebuild: 1- or 2-flavor models only")
     if model.expK.dtype != jnp.float64:
         raise ValueError("parity rebuild needs the f64-built model twin "
                          "(expK at full precision); build with "
@@ -94,7 +107,8 @@ def _check_model(model):
 
 
 def rebuild_chain(model, cfg: EngineConfig, fields: jax.Array, nm=df32,
-                  *, _wrap=lambda f: f, use_scan: bool | None = None):
+                  *, _wrap=lambda f: f, use_scan: bool | None = None,
+                  flavor_sign: float = 1.0):
     """Pure multiword chain rebuild: fields (nt, ns) -> (G, log_det).
 
     jit/vmap-safe (fixed trip counts, no data-dependent control flow);
@@ -121,7 +135,7 @@ def rebuild_chain(model, cfg: EngineConfig, fields: jax.Array, nm=df32,
         Bbar = nm.df(jnp.eye(ns, dtype=jnp.float32))
         n_blk = fields_blk.shape[0]
         for i in range(n_blk):
-            B = _slice_B(model, expK, fields_blk[i], nm)
+            B = _slice_B(model, expK, fields_blk[i], nm, flavor_sign)
             Bbar = nm.matmul(B, Bbar)
         return Bbar
 
@@ -176,14 +190,17 @@ def parity_rebuild_greens(model, cfg: EngineConfig, fields: jax.Array,
                          use_scan=False)
 
 
-def _identity_ldr(ns: int, nm):
-    eye = nm.df(jnp.eye(ns, dtype=jnp.float32))
-    return df_linalg.LDRdf(eye, nm.df(jnp.ones(ns, jnp.float32)), eye)
+def _identity_ldr(ns: int, nm, nfl: int | None = None):
+    shape = (ns, ns) if nfl is None else (nfl, ns, ns)
+    eye = nm.df(jnp.broadcast_to(jnp.eye(ns, dtype=jnp.float32), shape))
+    ones = nm.df(jnp.ones(shape[:-2] + (ns,), jnp.float32))
+    return df_linalg.LDRdf(eye, ones, eye)
 
 
-def _slice_invB(model, invexpK, fields_l: jax.Array, nm):
+def _slice_invB(model, invexpK, fields_l: jax.Array, nm,
+                sign: float = 1.0):
     """Multiword B_l^{-1} = invexpK @ diag(1/expV(s_l)) (column scaling)."""
-    tbl = nm.from_f64(jnp.asarray(1.0 / _expv_table_f64(model)))
+    tbl = nm.from_f64(jnp.asarray(1.0 / _expv_table_f64(model, sign)))
 
     def sel(comp):
         out = jnp.zeros(fields_l.shape, jnp.float32)
@@ -275,24 +292,40 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             n_stab = max(1, min(n_stab, int(0.4 / dtau)))
     n_stab = _divisor_stride(nt, n_stab)
     n_stack = nt // n_stab
+    signs = _flavor_signs(model64)
+    nfl = len(signs)
     expK = nm.from_f64(model64.expK)
     invexpK = nm.from_f64(model64.invexpK)
-    left = nm.from_f64(model64.invexpK_half)
-    right = nm.from_f64(model64.expK_half)
-    eye32 = jnp.eye(ns, dtype=jnp.float32)
+    eyeB32 = jnp.broadcast_to(jnp.eye(ns, dtype=jnp.float32),
+                              (nfl, ns, ns))
+
+    def bcast(M):
+        return nm.cmap(lambda c: jnp.broadcast_to(c, (nfl, ns, ns)), M)
+
+    left = bcast(nm.from_f64(model64.invexpK_half))
+    right = bcast(nm.from_f64(model64.expK_half))
 
     def warp_m(G):
         # engine.sweep.half_warp convention: G~ = invexpK_half @ G @ expK_half
         return nm.matmul(nm.matmul(left, G), right) if symmetric else G
 
+    def B_all(fields_l):
+        """(nfl, ns, ns) multiword B_l, one stored flavor per sign."""
+        Bs = [_slice_B(model64, expK, fields_l, nm, s) for s in signs]
+        return nm.cmap(lambda *cs: jnp.stack(cs), *Bs)
+
+    def invB_all(fields_l):
+        Bs = [_slice_invB(model64, invexpK, fields_l, nm, s)
+              for s in signs]
+        return nm.cmap(lambda *cs: jnp.stack(cs), *Bs)
+
     def one(fields):
         blocks = fields[:nt].reshape(n_stack, n_stab, -1)
 
         def block_product(fields_blk):
-            Bbar = nm.df(eye32)
+            Bbar = nm.df(eyeB32)
             for i in range(n_stab):
-                Bbar = nm.matmul(_slice_B(model64, expK, fields_blk[i], nm),
-                                 Bbar)
+                Bbar = nm.matmul(B_all(fields_blk[i]), Bbar)
             return Bbar
 
         # phase A: suffix LDR stack at block boundaries.  F2t[k] holds
@@ -304,7 +337,7 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             F2 = df_linalg.mat_mul_ldr(BbarT, F, nm=nm)
             return F2, F2
 
-        F_id = _identity_ldr(ns, nm)
+        F_id = _identity_ldr(ns, nm, nfl)
         _, suffixes_rev = _scan(suf_body, F_id, blocks[::-1], use_scan)
         suffixes = jax.tree_util.tree_map(lambda a: a[::-1], suffixes_rev)
         # boundaries 1..n_stack consumed by the forward scan (k+1-th)
@@ -314,22 +347,22 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
 
         F2t_0 = jax.tree_util.tree_map(lambda a: a[0], suffixes)
         G00, _ = df_linalg.inv_one_plus_ldr_dag(
-            df_linalg.to_ldr(nm.df(eye32), nm=nm), F2t_0, nm=nm)
-        G00_64 = nm.to_f64(warp_m(G00))[None]
+            df_linalg.to_ldr(nm.df(eyeB32), nm=nm), F2t_0, nm=nm)
+        G00_64 = nm.to_f64(warp_m(G00))
 
         def emit64(Gtt, Gt0, G0t):
-            return measure_fn(nm.to_f64(warp_m(Gtt))[None],
-                              nm.to_f64(warp_m(Gt0))[None],
-                              nm.to_f64(warp_m(G0t))[None], G00_64)
+            return measure_fn(nm.to_f64(warp_m(Gtt)),
+                              nm.to_f64(warp_m(Gt0)),
+                              nm.to_f64(warp_m(G0t)), G00_64)
 
         def blk_body(carry, xs):
             Gtt, Gt0, G0t, Bt0, emax = carry
             fields_blk, F2t_next = xs
-            Bbar = nm.df(eye32)
+            Bbar = nm.df(eyeB32)
             outs = []
             for k in range(n_stab):
-                B = _slice_B(model64, expK, fields_blk[k], nm)
-                invB = _slice_invB(model64, invexpK, fields_blk[k], nm)
+                B = B_all(fields_blk[k])
+                invB = invB_all(fields_blk[k])
                 Gtt = nm.matmul(nm.matmul(B, Gtt), invB)
                 Gt0 = nm.matmul(B, Gt0)
                 G0t = nm.matmul(G0t, invB)
@@ -349,13 +382,13 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             ys = jax.vmap(emit64)(*stacked)
             return (Gtt, Gt0, G0t, Bt0, emax), ys
 
-        carry0 = (G00, G00, nm.sub(G00, nm.df(eye32)), _identity_ldr(ns, nm),
-                  jnp.zeros((), jnp.float64))
+        carry0 = (G00, G00, nm.sub(G00, nm.df(eyeB32)),
+                  _identity_ldr(ns, nm, nfl), jnp.zeros((), jnp.float64))
         (Gtt, Gt0, G0t, Bt0, emax), ys = _scan(
             blk_body, carry0, (blocks, bounds), use_scan)
         ys = jax.tree_util.tree_map(
             lambda a: a.reshape((nt,) + a.shape[2:]), ys)
-        y0 = emit64(G00, G00, nm.sub(G00, nm.df(eye32)))
+        y0 = emit64(G00, G00, nm.sub(G00, nm.df(eyeB32)))
         ys = jax.tree_util.tree_map(
             lambda f, r: jnp.concatenate([f[None], r], axis=0), y0, ys)
         return ys, emax
@@ -408,9 +441,16 @@ def measurement_greens_fn(model64, cfg: EngineConfig, nm, *,
     right = nm.from_f64(model64.expK_half)
 
     def one(fields):
-        G, _ = rebuild_chain(model64, cfg, fields, nm)
-        if symmetric:
-            G = nm.matmul(nm.matmul(left, G), right)
-        return nm.to_f64(G)[None]                   # flavor axis
+        # one chain per stored flavor (repulsive: opposite couplings,
+        # models/repulsive_hubbard.expV_diag; attractive: a single +
+        # flavor reused for both spins, model.h:50)
+        Gs = []
+        for sign in _flavor_signs(model64):
+            G, _ = rebuild_chain(model64, cfg, fields, nm,
+                                 flavor_sign=sign)
+            if symmetric:
+                G = nm.matmul(nm.matmul(left, G), right)
+            Gs.append(nm.to_f64(G))
+        return jnp.stack(Gs)                        # (nfl, ns, ns)
 
     return lambda states: jax.vmap(one)(states.fields)

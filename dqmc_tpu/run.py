@@ -26,11 +26,16 @@ Config schema (superset of the reference's, SURVEY.md section 5):
                        hardware ops at ~1/9 the f32 mode's throughput,
                        ~28x the f64-emulation mode's),
                        measure_precision (engine|tf32|df32, default engine:
-                       tf32 rebuilds the MEASURED equal-time Green's
-                       function from the fields in triple-float32 —
-                       <1e-10 vs exact, below the f64 grade the reference
-                       itself measures at — independent of the sampling
-                       dtype; single-flavor models only)
+                       tf32 rebuilds every MEASURED Green's function —
+                       equal-time G and, when isMeasureUnequalTime is on,
+                       the full tau-resolved Gtt/Gt0/G0t triplet — from
+                       the fields in triple-float32: <1e-10 vs exact,
+                       below the f64 grade the reference itself measures
+                       at, independent of the sampling dtype; 1- and
+                       2-flavor models),
+                       measure_n_stab / measure_uneq_n_stab (override the
+                       rebuild fold strides; defaults documented in
+                       engine/parity.py)
   [walkers]            n_walkers (default 1),
                        n_devices (0 = all visible devices, 1 = no sharding)
   [ParallelTempering]  enabled (default false), sweep_steps, betas
@@ -399,21 +404,9 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
                               for i in range(k - 1)})
     n_stab_cap = min(cfg.nt, 32)
 
-    def adapt(states, cfg, step):
-        stats = global_stats(states)
-        err_mean = (stats["err_sum"] / stats["err_count"]
-                    if stats["err_count"] else 0.0)
-        new = cfg.n_stab
-        if err_mean > err_warn and cfg.n_stab > 1:
-            new = cfg.n_stab - 1
-        elif err_mean < err_warn / 16 and cfg.n_stab < n_stab_cap:
-            new = cfg.n_stab + 1
-        states = jax.jit(jax.vmap(reset_error_stats))(states)
-        if new == cfg.n_stab:
-            return states, cfg, step
-        cfg = dataclasses.replace(cfg, n_stab=new)
-        log(f"n_stab auto: chunk err_mean {err_mean:.2e} "
-            f"(warn {err_warn:.0e}) -> n_stab = {new}")
+    def make_reseat(cfg):
+        """Rebuild stack + G from the fields under a new n_stab (the
+        Markov chain — fields, RNG keys, signs — is untouched)."""
         if df_mode:
             from dqmc_tpu.engine.df_sweep import rebuild_stack_df
 
@@ -433,8 +426,24 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
                                                              s.fields)
                 return dataclasses.replace(s, G=G, stack=stack,
                                            log_det_M=log_det)
+        return reseat
 
-        return reseat(states), cfg, build_step(cfg)
+    def adapt(states, cfg, step):
+        stats = global_stats(states)
+        err_mean = (stats["err_sum"] / stats["err_count"]
+                    if stats["err_count"] else 0.0)
+        new = cfg.n_stab
+        if err_mean > err_warn and cfg.n_stab > 1:
+            new = cfg.n_stab - 1
+        elif err_mean < err_warn / 16 and cfg.n_stab < n_stab_cap:
+            new = cfg.n_stab + 1
+        states = jax.jit(jax.vmap(reset_error_stats))(states)
+        if new == cfg.n_stab:
+            return states, cfg, step
+        cfg = dataclasses.replace(cfg, n_stab=new)
+        log(f"n_stab auto: chunk err_mean {err_mean:.2e} "
+            f"(warn {err_warn:.0e}) -> n_stab = {new}")
+        return make_reseat(cfg)(states), cfg, build_step(cfg)
 
     # thermalization (main.cpp:129-137); checkpointed mid-phase every
     # ckpt_every * n_sweeps sweep-pairs so a preempted long thermalization
@@ -456,24 +465,68 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         + (f" (auto n_stab = {cfg.n_stab})" if n_stab_auto else ""))
 
     uneq_fn = manager.uneq_measure_fn
-    # symmetric=true warps the tau-resolved Green's functions too
-    # (dqmc.cpp:300-312).  Built after thermalization: n_stab may have
-    # adapted, and the measurement phase uses the settled schedule.
-    if measure_prec != "engine" and uneq and uneq_fn is not None:
-        uneq_step = None       # built below at measurement-tier grade
-    elif df_mode:
-        # tau-resolved reconstruction runs the f32 uneq sweep on the
-        # hi-rounded df stack (see engine.df_sweep.f32_view)
-        from dqmc_tpu.engine.df_sweep import f32_view as _f32_view
+    meas_stab = params.get_int("simulation", "measure_n_stab", 0)
+    uneq_stab = params.get_int("simulation", "measure_uneq_n_stab", 0)
 
-        uneq_step = jax.jit(jax.vmap(
-            lambda s: sweep_unequal_time(model, cfg, _f32_view(s),
-                                         measure_fn=uneq_fn,
-                                         warp=symmetric)))
-    else:
-        uneq_step = jax.jit(jax.vmap(
-            lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn,
-                                         warp=symmetric)))
+    def build_measured(cfg, step):
+        """The whole measurement-phase program for one n_stab value:
+        uneq step (engine-dtype or measurement-tier), optional multiword
+        greens_fn, the fused measured iteration, and the jitted bin scan.
+        Rebuilt when n_stab adapts mid-measurement (the stack shape and
+        every stabilization schedule depend on it)."""
+        greens_fn = None
+        uneq_step = None
+        if measure_prec != "engine":
+            from dqmc_tpu.engine.parity import (measurement_greens_fn,
+                                                measurement_uneq_fn)
+            from dqmc_tpu.ops import df32 as _nm_df32, tf32 as _nm_tf32
+            nm_meas = _nm_tf32 if measure_prec == "tf32" else _nm_df32
+            model64 = model_cls.from_params(params, lat, dtype=jnp.float64)
+            greens_fn = measurement_greens_fn(
+                model64, cfg, nm_meas, symmetric=symmetric,
+                n_stab=meas_stab if meas_stab > 0 else None)
+            log(f"Measurement tier: equal-time G rebuilt at {measure_prec} "
+                f"({'<1e-10' if measure_prec == 'tf32' else '~1e-8'} "
+                f"fixed-field accuracy)")
+            if uneq and uneq_fn is not None:
+                # tau-resolved tier: the triplet rebuilt from the fields
+                # at the same multiword grade (stride default: engine
+                # schedule for tf32, 0.4/dtau cap for df32 — see
+                # engine.parity.measurement_uneq_fn)
+                uneq_step = measurement_uneq_fn(
+                    model64, cfg, nm_meas, uneq_fn, symmetric=symmetric,
+                    n_stab=uneq_stab if uneq_stab > 0 else None)
+                log(f"Measurement tier: tau-resolved Gt0/G0t/Gtt rebuilt "
+                    f"at {measure_prec}")
+        elif uneq and uneq_fn is not None:
+            if df_mode:
+                # tau-resolved reconstruction runs the f32 uneq sweep on
+                # the hi-rounded df stack (engine.df_sweep.f32_view)
+                from dqmc_tpu.engine.df_sweep import f32_view as _f32_view
+                uneq_step = jax.jit(jax.vmap(
+                    lambda s: sweep_unequal_time(model, cfg, _f32_view(s),
+                                                 measure_fn=uneq_fn,
+                                                 warp=symmetric)))
+            else:
+                uneq_step = jax.jit(jax.vmap(
+                    lambda s: sweep_unequal_time(model, cfg, s,
+                                                 measure_fn=uneq_fn,
+                                                 warp=symmetric)))
+
+        iter_fn, zero_acc = manager.make_measured_iter(
+            step, uneq_step if (uneq and uneq_fn is not None) else None,
+            warp_fn=warp if (symmetric and greens_fn is None) else None,
+            signed=model.det_power == 1, greens_fn=greens_fn)
+
+        @jax.jit
+        def bin_fn(states, acc):
+            def body(c, _):
+                return iter_fn(*c), None
+            (states, acc), _ = jax.lax.scan(body, (states, acc), None,
+                                            length=n_sweeps)
+            return states, acc
+
+        return bin_fn, zero_acc
 
     # split precision stats: the random-field transient is reported once,
     # then reset so the summary's max/mean reflect the measured phase
@@ -491,44 +544,7 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     # sweep).
     err_uneq_max = 0.0
     t0 = time.perf_counter()
-    greens_fn = None
-    if measure_prec != "engine":
-        from dqmc_tpu.engine.parity import (measurement_greens_fn,
-                                            measurement_uneq_fn)
-        from dqmc_tpu.ops import df32 as _nm_df32, tf32 as _nm_tf32
-        nm_meas = _nm_tf32 if measure_prec == "tf32" else _nm_df32
-        model64 = model_cls.from_params(params, lat, dtype=jnp.float64)
-        meas_stab = params.get_int("simulation", "measure_n_stab", 0)
-        greens_fn = measurement_greens_fn(
-            model64, cfg, nm_meas, symmetric=symmetric,
-            n_stab=meas_stab if meas_stab > 0 else None)
-        log(f"Measurement tier: equal-time G rebuilt at {measure_prec} "
-            f"({'<1e-10' if measure_prec == 'tf32' else '~1e-8'} "
-            f"fixed-field accuracy)")
-        if uneq and uneq_fn is not None:
-            # tau-resolved tier: the triplet rebuilt from the fields at
-            # the same multiword grade (propagation keeps the ENGINE
-            # stride — naive within-block wraps have no precision
-            # headroom for a wider one, unlike the equal-time fold)
-            uneq_stab = params.get_int("simulation", "measure_uneq_n_stab",
-                                       0)
-            uneq_step = measurement_uneq_fn(
-                model64, cfg, nm_meas, uneq_fn, symmetric=symmetric,
-                n_stab=uneq_stab if uneq_stab > 0 else None)
-            log(f"Measurement tier: tau-resolved Gt0/G0t/Gtt rebuilt at "
-                f"{measure_prec}")
-    iter_fn, zero_acc = manager.make_measured_iter(
-        step, uneq_step if (uneq and uneq_fn is not None) else None,
-        warp_fn=warp if (symmetric and greens_fn is None) else None,
-        signed=model.det_power == 1, greens_fn=greens_fn)
-
-    @jax.jit
-    def bin_fn(states, acc):
-        def body(c, _):
-            return iter_fn(*c), None
-        (states, acc), _ = jax.lax.scan(body, (states, acc), None,
-                                        length=n_sweeps)
-        return states, acc
+    bin_fn, zero_acc = build_measured(cfg, step)
 
     for ibin in range(start_bin, n_bins):
         if profile_dir and ibin == start_bin:
@@ -539,8 +555,8 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
             jax.block_until_ready(states.G)
             jax.profiler.stop_trace()
             log(f"Profiler trace written to {profile_dir}")
-        err_uneq_max = max(err_uneq_max,
-                           manager.ingest_bin(jax.device_get(acc), n_sweeps))
+        bin_err_uneq = manager.ingest_bin(jax.device_get(acc), n_sweeps)
+        err_uneq_max = max(err_uneq_max, bin_err_uneq)
         if not warned:
             cur_err = float(jnp.max(states.err_max))
             if cur_err > err_warn:
@@ -548,6 +564,29 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
                       f"{err_warn:.1e}. Reduce n_stab or increase nt.",
                       file=sys.stderr)
                 warned = True
+        # n_stab = auto in the MEASUREMENT phase: tighten-only (the
+        # reference's "Reduce n_stab" advice, dqmc.cpp:390-393, made
+        # actionable mid-run).  The per-bin steady-state chunk error AND
+        # the unequal-time sweep's own self-check feed back; a change
+        # reseats the stack from the fields at the bin boundary (already
+        # written — bins stay uncorrupted) and rebuilds the jitted
+        # programs.  Never loosens: a loosen/tighten oscillation would
+        # recompile every few bins for no physics benefit.
+        if n_stab_auto and cfg.n_stab > 1 and ibin + 1 < n_bins:
+            stats = global_stats(states)
+            err_mean = (stats["err_sum"] / stats["err_count"]
+                        if stats["err_count"] else 0.0)
+            if max(err_mean, bin_err_uneq) > err_warn:
+                cfg = dataclasses.replace(cfg, n_stab=cfg.n_stab - 1)
+                log(f"n_stab auto (measurement): bin err {err_mean:.2e} / "
+                    f"uneq {bin_err_uneq:.2e} exceeds warn "
+                    f"{err_warn:.0e} -> n_stab = {cfg.n_stab}, stack "
+                    f"reseated")
+                states = make_reseat(cfg)(states)
+                states = jax.jit(jax.vmap(reset_error_stats))(states)
+                step = build_step(cfg)
+                bin_fn, zero_acc = build_measured(cfg, step)
+                warned = False
         if ckpt_every > 0 and manager.current_bin % ckpt_every == 0:
             checkpoint(True)
     total = (n_bins - start_bin) * n_sweeps

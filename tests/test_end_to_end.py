@@ -229,3 +229,23 @@ n_walkers = 2
         dens = float(np.asarray(f[bins[0]]["scalar"]["density"]).ravel()[0])
         assert 0.5 < dens < 1.5      # near half filling at mu=0
         assert "greenTau" in f[bins[0]]["unequaltime"]
+
+
+def test_auto_n_stab_tightens_mid_measurement(tmp_path):
+    """The measurement phase feeds the per-bin chunk error back too
+    (VERDICT round-2 item 8): with no thermalization to adapt in and an
+    unreachable threshold, every bin boundary must tighten n_stab by one
+    and reseat the stack — without corrupting already-written bins."""
+    import h5py
+    text = _auto_params(err_warn="1e-18", n_therms=2, n_stab_start=4)
+    text = text.replace("n_bins = 1", "n_bins = 3")
+    params = Parameters.from_string(text)
+    out = str(tmp_path / "results")
+    summary = run_simulation(params, out_dir=out, verbose=False)
+    # therm too short for adapt marks (needs >= 4); bins 0 and 1 tighten
+    # (the final bin never does: nothing left to re-jit for)
+    assert summary.n_stab == 2, summary.n_stab
+    with h5py.File(os.path.join(out, "data_0.h5")) as f:
+        for b in range(3):
+            d = float(np.asarray(f[f"/bin_{b}/scalar/density"]))
+            assert np.isfinite(d) and 0.0 < d < 2.0, (b, d)

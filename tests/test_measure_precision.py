@@ -127,3 +127,54 @@ n_walkers = 1
         assert np.all(np.isfinite(cx))
         dens = float(np.asarray(f["/bin_0/scalar/density"]))
         assert 0.0 < dens < 2.0
+
+
+def test_repulsive_df32_measure_matches_engine_trajectory(tmp_path):
+    """2-flavor measurement tier through the driver: same seed -> same
+    sampled trajectory, so df32-measured binned scalars must agree with
+    engine-measured ones to the engine G's own accuracy (+ CPU-jit
+    multiword hazard margin)."""
+    base = """
+[Lattice]
+L1 = 4
+L2 = 4
+[hubbard]
+U = 4.0
+t = 1.0
+mu = 0.0
+model = repulsive
+[simulation]
+beta = 2.0
+nt = 6
+n_therms = 4
+n_sweeps = 2
+n_bins = 2
+n_stab = 2
+isMeasureUnequalTime = false
+seed = 23
+dtype = float32
+{extra}
+[walkers]
+n_walkers = 2
+"""
+
+    def run(name, extra):
+        d = tmp_path / name
+        d.mkdir()
+        params = Parameters.from_string(base.format(extra=extra))
+        run_simulation(params, out_dir=str(d / "results"), verbose=False)
+        out = {}
+        with h5py.File(d / "results" / "data_0.h5") as f:
+            for b in range(2):
+                for k in f[f"/bin_{b}/scalar"]:
+                    out[(b, k)] = float(
+                        np.asarray(f[f"/bin_{b}/scalar/{k}"]))
+        return out
+
+    eng = run("eng", "")
+    df = run("df", "measure_precision = df32")
+    assert eng.keys() == df.keys()
+    assert ("0", "sign") not in eng  # sanity: sign key is (b, name) tuple
+    assert any(k[1] == "sign" for k in eng)   # sign-prone family records <s>
+    for k in eng:
+        assert abs(eng[k] - df[k]) < 1e-3, (k, eng[k], df[k])

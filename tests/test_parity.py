@@ -235,3 +235,70 @@ def test_tf_uneq_and_currxx_vs_gold():
                       gold[tau][1])
         err = np.abs(tier - want).max()
         assert err < 1e-10, f"currxxTau(tau={tau}): {err:.3e}"
+
+
+def test_repulsive_measurement_greens_matches_f64_engine():
+    """The measurement-tier rebuild for the 2-flavor repulsive model:
+    both flavors (opposite couplings, models/repulsive_hubbard.expV_diag)
+    must match the f64 engine's per-flavor stabilized rebuild at the
+    df32 tier."""
+    from dqmc_tpu.engine.parity import measurement_greens_fn
+    from dqmc_tpu.models import RepulsiveHubbard
+
+    lat = square_lattice(4, 4)
+    nt, n_stab, beta = 20, 5, 4.0
+    m64 = RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=0.0, beta=beta,
+                                 nt=nt, dtype=jnp.float64)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    rng = np.random.default_rng(5)
+    fields = jnp.asarray(rng.integers(0, 4, (nt, lat.n_sites)), jnp.int32)
+
+    _, G64, _ = rebuild_stack_and_greens(m64, cfg, fields)
+    assert G64.shape == (2, lat.n_sites, lat.n_sites)
+
+    class _S:
+        pass
+
+    s = _S()
+    s.fields = fields[None]
+    G = np.asarray(measurement_greens_fn(m64, cfg, df32)(s))[0]
+    for flv in range(2):
+        err = np.abs(G[flv] - np.asarray(G64)[flv]).max()
+        assert err < 1e-7, (flv, err)
+    # the two flavors genuinely differ (opposite couplings)
+    assert np.abs(G[0] - G[1]).max() > 1e-3
+
+
+def test_repulsive_measurement_uneq_matches_f64_engine():
+    """2-flavor tau-resolved tier vs the f64 engine's unequal-time sweep
+    on the repulsive model (both flavors, every tau)."""
+    from dqmc_tpu.engine.parity import measurement_uneq_fn
+    from dqmc_tpu.engine.uneqtime import TauGreens, sweep_unequal_time
+    from dqmc_tpu.models import RepulsiveHubbard
+
+    lat = square_lattice(4, 4)
+    nt, n_stab, beta = 12, 3, 3.0
+    m64 = RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=0.0, beta=beta,
+                                 nt=nt, dtype=jnp.float64)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    rng = np.random.default_rng(6)
+    fields = jnp.asarray(rng.integers(0, 4, (nt, lat.n_sites)), jnp.int32)
+
+    s64 = _f64_state(m64, cfg, fields)
+    ys64, _ = sweep_unequal_time(m64, cfg, s64)
+
+    class _S:
+        pass
+
+    s = _S()
+    s.fields = fields[None]
+    raw = lambda Gtt, Gt0, G0t, G00: TauGreens(Gtt, Gt0, G0t)
+    ys, err = measurement_uneq_fn(m64, cfg, df32, raw,
+                                  use_scan=False)(s)
+    assert float(err[0]) < 1e-6
+    for got, want, name in ((ys.Gtt, ys64.Gtt, "Gtt"),
+                            (ys.Gt0, ys64.Gt0, "Gt0"),
+                            (ys.G0t, ys64.G0t, "G0t")):
+        assert np.asarray(got).shape[2] == 2          # flavor axis
+        d = np.abs(np.asarray(got)[0] - np.asarray(want)).max()
+        assert d < 1e-6, f"{name}: {d:.3e}"
