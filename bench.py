@@ -319,6 +319,51 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
             "window_s": window, "repeats": n_repeats}
 
 
+def pt_throughput(n_sweeps_total: int = 300):
+    """Production-scale parallel-tempering benchmark (VERDICT round-2
+    item 3): 12x12, nt=120, 6 replicas on a beta ladder, f32 chains with
+    f64 exchange actions, the FUSED measured loop between exchange
+    attempts (parallel/tempering.py).  Reports aggregate
+    replica-sweeps/s over the whole measurement phase (first-segment jit
+    compile included — sized so it amortizes) plus the exchange rate."""
+    import tempfile
+
+    from dqmc_tpu.config import Parameters
+    from dqmc_tpu.parallel.tempering import run_parallel_tempering
+
+    betas = [6.0, 5.8, 5.6, 5.4, 5.2, 5.0]
+    n_bins, n_sweeps = 3, max(1, n_sweeps_total // 3)
+    text = f"""
+[Lattice]
+L1 = 12
+L2 = 12
+[hubbard]
+U = 4.0
+t = 1.0
+mu = 0.0
+[simulation]
+beta = {betas[0]}
+nt = 120
+n_therms = 20
+n_sweeps = {n_sweeps}
+n_bins = {n_bins}
+n_stab = 5
+isMeasureUnequalTime = false
+seed = 11
+dtype = float32
+[ParallelTempering]
+enabled = true
+sweep_steps = 10
+betas = {', '.join(str(b) for b in betas)}
+"""
+    params = Parameters.from_string(text)
+    out_dir = tempfile.mkdtemp(prefix="dqmc_pt_bench_")
+    summary = run_parallel_tempering(params, out_dir=out_dir, verbose=False)
+    log(f"PT: {summary.sweeps_per_sec:.2f} replica-sweeps/s, exchange "
+        f"rate {summary.exchange_rate:.3f}, acc {summary.acc_rate:.3f}")
+    return summary
+
+
 _BASELINE_SCRIPT = r"""
 import json, time, sys
 import jax
@@ -438,6 +483,10 @@ def main():
                    help="dtype for the primary number (df32 = the hybrid "
                         "double-float32 parity engine, ~1e-8 fixed-field "
                         "accuracy at beta=8 from pure f32 hardware ops)")
+    p.add_argument("--pt", action="store_true",
+                   help="benchmark production-scale parallel tempering "
+                        "(12x12, nt=120, 6 replicas, fused measured loop)")
+    p.add_argument("--pt-sweeps", type=int, default=300)
     p.add_argument("--measured", action="store_true",
                    help="benchmark the full measured iteration (sweep pair "
                         "+ unequal-time sweep + measurements) instead of "
@@ -487,6 +536,25 @@ def main():
     # the strict f64 mode stays available via --dtype float64 at ~28x
     # less throughput).  Runs in a SUBPROCESS so its compile cache and
     # device context stay isolated from the primary measurement.
+    if args.pt:
+        s = pt_throughput(args.pt_sweeps)
+        print(json.dumps({
+            "metric": "PT replica-sweeps/sec/chip (12x12 beta=5.0-6.0, "
+                      "nt=120, 6 replicas, f32 chains + f64 actions, "
+                      "fused measured loop)",
+            "value": round(s.sweeps_per_sec, 3),
+            "ok": True,
+            "unit": "replica-sweeps/s/chip",
+            "vs_baseline": None,
+            "exchange_rate": round(s.exchange_rate, 4),
+            "acc": round(s.acc_rate, 4),
+            "err_max_steady": s.max_precision_error,
+            "tier": "f32 sampling + f64 exchange actions",
+            "err_note": "window includes first-segment jit compile "
+                        "(amortized over the full measurement phase)",
+        }))
+        return
+
     if args.measured:
         r = measured_throughput(walkers, args.reps, args.dtype,
                                 args.measure_precision,
