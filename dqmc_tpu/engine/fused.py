@@ -67,7 +67,7 @@ from dqmc_tpu.engine.sweep import (
 
 
 def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
-                        *refs):
+                        nfl, *refs):
     """One stabilization block for a walker block WB.
 
     The field-dependent Metropolis factors are PRECOMPUTED outside: every
@@ -107,23 +107,30 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
     if scheme == "submatrix":
         (order_ref, gb_ref, delta_ref, us_ref, ev_old_ref, ev_new_ref,
          expK_ref, expKT_ref, invexpKT_ref, expK2_ref, pall_ref, g_in_ref,
-         g_ref, mask_ref, bbar_ref, acc_ref,
+         g_ref, mask_ref, bbar_ref, acc_ref, sgn_ref,
          gt_ref, grows_ref, gcols_ref, winv_ref) = refs
     else:
         (order_ref, gb_ref, delta_ref, us_ref, ev_old_ref, ev_new_ref,
          expK_ref, expKT_ref, invexpKT_ref, expK2_ref, g_in_ref,
-         g_ref, mask_ref, bbar_ref, acc_ref,
+         g_ref, mask_ref, bbar_ref, acc_ref, sgn_ref,
          gt_ref, ut_ref, v_ref) = refs
-    WB, ns = g_ref.shape[0], g_ref.shape[-1]
+    # nfl == 2: the leading "chain" axis of every G-shaped ref is the
+    # flavor-major stack [up-of-all-WB ; down-of-all-WB] (2*WB chains);
+    # decisions (gb/us/mask/acc/sgn) stay per WALKER (WB-wide) and couple
+    # the two flavor halves through R = gb * r_up * r_dn (det_power = 1,
+    # models/repulsive_hubbard.update_factors).
+    WC, ns = g_ref.shape[0], g_ref.shape[-1]
+    WB = WC // nfl
     dtype = g_ref.dtype
     g_ref[...] = g_in_ref[...]
     gt_ref[...] = jnp.swapaxes(g_in_ref[...], -1, -2)
     mask_ref[...] = jnp.zeros_like(mask_ref)
+    sgn_ref[...] = jnp.ones_like(sgn_ref)
     eyeT = jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 0) == \
         jax.lax.broadcasted_iota(jnp.int32, (ns, ns), 1)
     bbar_ref[...] = jnp.broadcast_to(
         jnp.where(eyeT, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype)),
-        (WB, ns, ns))
+        (WC, ns, ns))
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
 
@@ -167,7 +174,9 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
 
     def expv_post(l):
         b = l * ns
-        m = mask_ref[:, b:b + ns]
+        m = mask_ref[:, b:b + ns]                         # (WB, ns)
+        if nfl == 2:
+            m = jnp.concatenate([m, m], axis=0)           # per-walker accept
         return jnp.where(m > 0.5, ev_new_ref[:, b:b + ns],
                          ev_old_ref[:, b:b + ns])
 
@@ -203,11 +212,11 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
             onehot = jnp.where(lane_ids == i, jnp.asarray(1.0, dtype),
                                jnp.asarray(0.0, dtype))
             gb = gb_ref[pl.ds(base + i, 1), :].reshape(WB, 1)
-            delta = delta_ref[pl.ds(base + i, 1), :].reshape(WB, 1)
+            delta = delta_ref[pl.ds(base + i, 1), :].reshape(WC, 1)
             u = us_ref[pl.ds(base + idx, 1), :].reshape(WB, 1)
 
-            row_g = g_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
-            col_g = gt_ref[:, pl.ds(i, 1), :].reshape(WB, ns)
+            row_g = g_ref[:, pl.ds(i, 1), :].reshape(WC, ns)
+            col_g = gt_ref[:, pl.ds(i, 1), :].reshape(WC, ns)
             ut_all = ut_ref[...]
             v_all = v_ref[...]
             ucoef = jnp.sum(ut_all * onehot[None], axis=2)
@@ -217,14 +226,27 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
             G_ii = jnp.sum(row_eff * onehot, axis=1, keepdims=True)
 
             r_flv = 1.0 + (1.0 - G_ii) * delta
-            R = gb * r_flv * r_flv
-            # u < min(1, |R|) reduced to u < R: R >= 0 bitwise for this
-            # kernel's models (gb > 0: product of a positive gamma ratio
-            # and an exp; r^2 >= 0) and uniform u < 1 strictly — exact
-            # decision equivalence, two fewer VPU ops on the critical path
-            accept = u < R
+            if nfl == 1:
+                R = gb * r_flv * r_flv
+                # u < min(1, |R|) reduced to u < R: R >= 0 bitwise for
+                # this kernel's models (gb > 0: product of a positive
+                # gamma ratio and an exp; r^2 >= 0) and uniform u < 1
+                # strictly — exact decision equivalence, two fewer VPU
+                # ops on the critical path
+                accept_w = u < R
+                accept = accept_w
+            else:
+                # det_power = 1: R = gb * r_up * r_dn can be NEGATIVE —
+                # Metropolis on |R|, accepted sign flips tracked per
+                # walker (engine.sweep.local_update_core semantics)
+                R = gb * r_flv[:WB] * r_flv[WB:]
+                accept_w = u < jnp.abs(R)
+                sgn_ref[...] *= jnp.where(accept_w & (R < 0.0),
+                                          jnp.asarray(-1.0, dtype),
+                                          jnp.asarray(1.0, dtype))[:, 0][None]
+                accept = jnp.concatenate([accept_w, accept_w], axis=0)
             prefac = jnp.where(accept, delta / r_flv, jnp.zeros_like(delta))
-            accf = accept.astype(dtype)
+            accf = accept_w.astype(dtype)
 
             ut_ref[:, pl.ds(slot, 1), :] = (prefac * col_eff)[:, None, :]
             v_ref[:, pl.ds(slot, 1), :] = (row_eff - onehot)[:, None, :]
@@ -365,7 +387,7 @@ _VMEM_LIMIT = 100 * 2**20   # v5e has 128 MB VMEM; the 16 MB default scoped
 
 
 def _pick_block(W: int, ns: int, k: int, itemsize: int, n_slices: int = 8,
-                budget: int = 80 * 2**20) -> int:
+                budget: int = 80 * 2**20, nfl: int = 1) -> int:
     """Walker-block size for the fused kernel.
 
     Empirical VMEM model (validated against Mosaic's scoped-allocation
@@ -379,7 +401,7 @@ def _pick_block(W: int, ns: int, k: int, itemsize: int, n_slices: int = 8,
     # measured: ~14 (ns, ns_pad) buffers live per walker at large ns
     # (G/GT/Bbar + pipeline double-buffers + dot_general temporaries)
     per_walker = (14 * ns * ns_pad + 3 * k * ns_pad
-                  + 6 * n_slices * ns_pad) * itemsize
+                  + 6 * n_slices * ns_pad) * itemsize * nfl
     wb = max(1, min(W, budget // max(per_walker, 1)))
     while W % wb:
         wb -= 1
@@ -405,7 +427,9 @@ def fused_block(model, order, props, us, G, fields_blk, *,
     product in application order.
     """
     W, nfl, ns, _ = G.shape
-    assert nfl == 1
+    assert nfl in (1, 2)
+    assert not (nfl == 2 and update == "submatrix"), \
+        "submatrix scheme: single-flavor only (delayed supports 2f)"
     dtype = G.dtype
     if ns % k_delay:
         k_delay = next(k for k in (16, 8, 4, 2, 1) if ns % k == 0)
@@ -442,9 +466,20 @@ def fused_block(model, order, props, us, G, fields_blk, *,
     d_eta = eta_new - eta_old
     gb = (tab4(hsfield.GAMMA, new_site) / tab4(hsfield.GAMMA, old)) \
         * jnp.exp(alpha * g_hs * d_eta)
-    delta = jnp.expm1(g_hs * d_eta)                      # (W, n_slices, ns)
-    ev_old = jnp.exp(g_hs * eta_old).reshape(W, L)
-    ev_new = jnp.exp(g_hs * eta_new).reshape(W, L)
+    if nfl == 1:
+        delta = jnp.expm1(g_hs * d_eta)                  # (W, n_slices, ns)
+        ev_old = jnp.exp(g_hs * eta_old).reshape(W, L)
+        ev_new = jnp.exp(g_hs * eta_new).reshape(W, L)
+    else:
+        # opposite flavor couplings exp(+-g eta): flavor axis after W
+        delta = jnp.stack([jnp.expm1(g_hs * d_eta),
+                           jnp.expm1(-g_hs * d_eta)], axis=1)
+        ev_old = jnp.stack([jnp.exp(g_hs * eta_old),
+                            jnp.exp(-g_hs * eta_old)],
+                           axis=1).reshape(W, nfl, L)
+        ev_new = jnp.stack([jnp.exp(g_hs * eta_new),
+                            jnp.exp(-g_hs * eta_new)],
+                           axis=1).reshape(W, nfl, L)
 
     expK = model.expK.astype(dtype)
     invexpK = model.invexpK.astype(dtype)
@@ -452,11 +487,12 @@ def fused_block(model, order, props, us, G, fields_blk, *,
 
     # visit-index-major streams: row l*ns+idx = visit idx of slice l
     gb_t = gb.reshape(W, L).T
-    delta_t = delta.reshape(W, L).T
+    delta_t = delta.reshape(W, nfl * L).T if nfl == 2 \
+        else delta.reshape(W, L).T
     us_t = us.reshape(W, L).T
 
     WB = _pick_block(W, ns, k_delay, jnp.dtype(dtype).itemsize,
-                     n_slices=n_slices)
+                     n_slices=n_slices, nfl=nfl)
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions (it rejects
     # bf16x3 "HIGH"); "bf16x3" selects the kernel's MANUAL three-pass
     # hi/lo-split scheme, "default" = one raw bf16 pass (physics-breaking,
@@ -465,7 +501,8 @@ def fused_block(model, order, props, us, G, fields_blk, *,
                 "default": jax.lax.Precision.DEFAULT,
                 "bf16x3": "bf16x3"}[precision]
     kern = functools.partial(_fused_block_kernel, n_slices, k_delay, forward,
-                             mxu_prec, update)
+                             mxu_prec, update, nfl)
+    WC = nfl * WB
     if update == "submatrix":
         # per-(slice, block) one-hot column selectors for the k x k gathers
         nb = ns // k_delay
@@ -481,10 +518,11 @@ def fused_block(model, order, props, us, G, fields_blk, *,
     else:
         extra_in = ()
         scratch = [
-            pltpu.VMEM((WB, ns, ns), dtype),        # GT
-            pltpu.VMEM((WB, k_delay, ns), dtype),   # Ut
-            pltpu.VMEM((WB, k_delay, ns), dtype),   # V
+            pltpu.VMEM((WC, ns, ns), dtype),        # GT (chain axis)
+            pltpu.VMEM((WC, k_delay, ns), dtype),   # Ut
+            pltpu.VMEM((WC, k_delay, ns), dtype),   # V
         ]
+
 
     def call_block(gb_b, delta_b, us_b, evo_b, evn_b, G_b):
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -493,13 +531,14 @@ def fused_block(model, order, props, us, G, fields_blk, *,
         return pl.pallas_call(
             kern,
             out_shape=(
-                jax.ShapeDtypeStruct((WB, ns, ns), dtype),
+                jax.ShapeDtypeStruct((WC, ns, ns), dtype),
                 jax.ShapeDtypeStruct((WB, L), dtype),
-                jax.ShapeDtypeStruct((WB, ns, ns), dtype),
+                jax.ShapeDtypeStruct((WC, ns, ns), dtype),
+                jax.ShapeDtypeStruct((1, WB), dtype),
                 jax.ShapeDtypeStruct((1, WB), dtype),
             ),
             in_specs=[smem()] + [vmem()] * n_in,
-            out_specs=(vmem(), vmem(), vmem(), vmem()),
+            out_specs=(vmem(), vmem(), vmem(), vmem(), vmem()),
             scratch_shapes=scratch,
             input_output_aliases={n_in: 0},
             compiler_params=pltpu.CompilerParams(
@@ -508,25 +547,48 @@ def fused_block(model, order, props, us, G, fields_blk, *,
         )(order_i, gb_b, delta_b, us_b, evo_b, evn_b, *mats, *extra_in, G_b)
 
     n_blocks = W // WB
+
+    def fm(x, width):
+        # (W, nfl, width) -> (n_blocks, nfl*WB, width) flavor-major blocks
+        return (x.reshape(n_blocks, WB, nfl, width)
+                .transpose(0, 2, 1, 3).reshape(n_blocks, nfl * WB, width))
+
+    if nfl == 1:
+        G_in = G.reshape(n_blocks, WB, ns * ns)
+        evo_in = ev_old.reshape(n_blocks, WB, L)
+        evn_in = ev_new.reshape(n_blocks, WB, L)
+        dl_in = delta_t.T.reshape(n_blocks, WB, L)
+    else:
+        G_in = fm(G.reshape(W, nfl, ns * ns), ns * ns)
+        evo_in = fm(ev_old, L)
+        evn_in = fm(ev_new, L)
+        dl_in = fm(delta_t.T.reshape(W, nfl, L), L)
+    G_in = G_in.reshape(n_blocks, WC, ns, ns)
+
     if n_blocks == 1:
-        G_new, mask, bbar, acc = call_block(
-            gb_t, delta_t, us_t, ev_old, ev_new, G.reshape(W, ns, ns))
+        G_new, mask, bbar, acc, sgn = call_block(
+            gb_t, dl_in[0].reshape(WC, L).T, us_t,
+            evo_in[0], evn_in[0], G_in[0])
+        G_new, bbar, acc, sgn = G_new[None], bbar[None], acc[None], sgn[None]
+        mask = mask[None]
     else:
         tv = lambda x: x.T.reshape(n_blocks, WB, L).transpose(0, 2, 1)
-        G_new, mask, bbar, acc = jax.vmap(call_block)(
-            tv(gb_t), tv(delta_t), tv(us_t),
-            ev_old.reshape(n_blocks, WB, L),
-            ev_new.reshape(n_blocks, WB, L),
-            G.reshape(n_blocks, WB, ns, ns))
+        G_new, mask, bbar, acc, sgn = jax.vmap(call_block)(
+            tv(gb_t), jnp.swapaxes(dl_in, 1, 2), tv(us_t),
+            evo_in, evn_in, G_in)
 
+    mask = mask.reshape(W, L)
     accepted = mask.reshape(W, n_slices, ns) > 0.5
     fields_new = jnp.where(accepted, new_site, fields_blk)
-    bbar = bbar.reshape(W, 1, ns, ns)
+    # undo the flavor-major block layout
+    G_new = (G_new.reshape(n_blocks, nfl, WB, ns, ns)
+             .transpose(0, 2, 1, 3, 4).reshape(W, nfl, ns, ns))
+    bbar = (bbar.reshape(n_blocks, nfl, WB, ns, ns)
+            .transpose(0, 2, 1, 3, 4).reshape(W, nfl, ns, ns))
     if forward:
         # the kernel accumulates the forward block product transposed
         bbar = jnp.swapaxes(bbar, -1, -2)
-    return (G_new.reshape(W, 1, ns, ns), fields_new,
-            bbar, acc.reshape(W))
+    return (G_new, fields_new, bbar, acc.reshape(W), sgn.reshape(W))
 
 
 # ----------------------------------------------------------------------
@@ -537,9 +599,15 @@ def supports_fused(model, cfg: EngineConfig) -> bool:
     # ns cap: at ns=1024 a single walker's VMEM footprint is ~59 MB
     # (measured), forcing WB=1 batch-starved matmuls — the per-slice path
     # wins there.  nt % n_stab != 0 is handled by a separately-compiled
-    # tail block (see sweep_fused).
-    return (model.n_flavor == 1 and model.det_power == 2
-            and not model.checkerboard and model.n_sites <= 512)
+    # tail block (see sweep_fused).  2-flavor det_power=1 models
+    # (repulsive Hubbard) run the delayed scheme with both flavor chains
+    # resident in the same kernel (decisions couple through
+    # R = gb * r_up * r_dn); the submatrix scheme stays single-flavor.
+    flavor_ok = ((model.n_flavor == 1 and model.det_power == 2)
+                 or (model.n_flavor == 2 and model.det_power == 1
+                     and cfg.fused_update != "submatrix"))
+    return (flavor_ok and not getattr(model, "checkerboard", False)
+            and model.n_sites <= 512)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "forward", "interpret"))
@@ -554,8 +622,8 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
     Pallas program per block.
     """
     if not supports_fused(model, cfg):
-        raise NotImplementedError("fused sweep: single-flavor dense model "
-                                  "with ns <= 512 required")
+        raise NotImplementedError("fused sweep: dense 1f(det^2)/2f(det^1) "
+                                  "model with ns <= 512 required")
     W = states.G.shape[0]
     nfl, ns = model.n_flavor, model.n_sites
     dtype = model.dtype
@@ -585,10 +653,10 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
                                                       bbar, forward))
 
     def run_block(carry, i_stack, order_b, props_b, us_b, n_slices, l0):
-        fields, G, F_prev, log_det, acc, emax, esum, ecnt = carry
+        fields, G, F_prev, log_det, acc, sgn, emax, esum, ecnt = carry
         fields_blk = jax.lax.dynamic_slice_in_dim(fields, l0, n_slices,
                                                   axis=1)
-        G, fields_blk, bbar, acc_b = fused_block(
+        G, fields_blk, bbar, acc_b, sgn_b = fused_block(
             model, order_b, props_b, us_b, G, fields_blk,
             n_slices=n_slices, forward=forward, interpret=interpret,
             precision=cfg.wrap_precision, update=cfg.fused_update,
@@ -604,10 +672,12 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
         )(states.stack)
         G_new, F_new, log_det_new, err = stabilize_f(G, F_prev, other, bbar)
         acc = acc + acc_b * (n_slices / cfg.nt)
+        sgn = sgn * sgn_b.astype(sgn.dtype)
         emax = jnp.maximum(emax, err)
         esum = esum + err
         ecnt = ecnt + jnp.ones_like(ecnt)
-        return (fields, G_new, F_new, log_det_new, acc, emax, esum, ecnt)
+        return (fields, G_new, F_new, log_det_new, acc, sgn, emax, esum,
+                ecnt)
 
     def block_step(carry, xs):
         i_stack, order_b, props_b, us_b = xs
@@ -634,7 +704,7 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
         lambda x: jnp.tile(x, (W,) + (1,) * x.ndim),
         identity_slot(nfl, ns, dtype))
     carry = (states.fields, states.G, id_w, states.log_det_M,
-             states.acc_sum, states.err_max, states.err_sum,
+             states.acc_sum, states.sign, states.err_max, states.err_sum,
              states.err_count)
     tail_slot = None
     if rem and not forward:
@@ -646,10 +716,11 @@ def sweep_fused(model, cfg: EngineConfig, states: WalkerState, *,
         tail_slot = carry[2]
     stack = stack_from_slots(slots, id_w, tail_slot, reverse=not forward,
                              axis=2)
-    (fields, G, _, log_det, acc, emax, esum, ecnt) = carry
+    (fields, G, _, log_det, acc, sgn, emax, esum, ecnt) = carry
     return dataclasses.replace(
         states, fields=fields, G=G, stack=stack, log_det_M=log_det,
-        key=new_key, acc_sum=acc, err_max=emax, err_sum=esum, err_count=ecnt)
+        key=new_key, acc_sum=acc, sign=sgn, err_max=emax, err_sum=esum,
+        err_count=ecnt)
 
 
 def _stabilize_one(G, F_prev, other, Bbar, forward):

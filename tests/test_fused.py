@@ -39,8 +39,10 @@ def _block_oracle(model, order, props, us, G, fields_blk, forward):
     W, n_slices, ns = fields_blk.shape
 
     def one_walker(G, fields_blk, props_w, us_w):
-        Bbar = jnp.eye(ns, dtype=G.dtype)[None]
+        nfl = G.shape[0]
+        Bbar = jnp.tile(jnp.eye(ns, dtype=G.dtype), (nfl, 1, 1))
         acc = jnp.zeros((), G.dtype)
+        sgn = jnp.ones((), G.dtype)
         sl = range(n_slices) if forward else range(n_slices - 1, -1, -1)
         for l in sl:
             f_l = fields_blk[l]
@@ -49,8 +51,9 @@ def _block_oracle(model, order, props, us, G, fields_blk, forward):
                                      apply_B_left(model, f_l, G))
             # the fused path indexes proposals by SITE; local_update_core
             # consumes them per VISIT — translate through the order
-            G, f_l, a, _ = local_update_core(model, G, f_l, order[l],
-                                             props_w[l][order[l]], us_w[l])
+            G, f_l, a, s_l = local_update_core(model, G, f_l, order[l],
+                                               props_w[l][order[l]], us_w[l])
+            sgn = sgn * s_l
             fields_blk = fields_blk.at[l].set(f_l)
             if forward:
                 Bbar = apply_B_left(model, f_l, Bbar)
@@ -59,7 +62,7 @@ def _block_oracle(model, order, props, us, G, fields_blk, forward):
                                   apply_invB_left(model, f_l, G))
                 Bbar = apply_B_right(model, f_l, Bbar)
             acc = acc + a
-        return G, fields_blk, Bbar, acc / n_slices
+        return G, fields_blk, Bbar, acc / n_slices, sgn
 
     return jax.vmap(one_walker)(G, fields_blk, props, us)
 
@@ -83,10 +86,10 @@ def test_fused_block_matches_oracle_forward():
     order, props, us = _streams(model, None, n_slices, ns, model.dtype, W)
     fields_blk = states.fields[:, :n_slices]
 
-    Gk, fk, bk, ak = fused_block(model, order, props, us, states.G,
+    Gk, fk, bk, ak, _sk = fused_block(model, order, props, us, states.G,
                                  fields_blk, n_slices=n_slices,
                                  forward=True, interpret=True)
-    Go, fo, bo, ao = _block_oracle(model, order, props, us, states.G,
+    Go, fo, bo, ao, _so = _block_oracle(model, order, props, us, states.G,
                                    fields_blk, True)
     np.testing.assert_array_equal(np.asarray(fk), np.asarray(fo))
     # kernel maintains G via its own dual matmul chain (not a transpose of
@@ -107,10 +110,10 @@ def test_fused_block_submatrix_matches_oracle():
         order, props, us = _streams(model, None, n_slices, ns, model.dtype,
                                     W, seed=seed + 10)
         fields_blk = states.fields[:, :n_slices]
-        Go, fo, bo, ao = _block_oracle(model, order, props, us, states.G,
+        Go, fo, bo, ao, _so = _block_oracle(model, order, props, us, states.G,
                                        fields_blk, forward)
         for k in (4, 8):
-            Gk, fk, bk, ak = fused_block(model, order, props, us, states.G,
+            Gk, fk, bk, ak, _sk = fused_block(model, order, props, us, states.G,
                                          fields_blk, n_slices=n_slices,
                                          k_delay=k, forward=forward,
                                          interpret=True, update="submatrix")
@@ -150,10 +153,10 @@ def test_fused_block_matches_oracle_backward():
                                 seed=9)
     fields_blk = states.fields[:, -n_slices:]
 
-    Gk, fk, bk, ak = fused_block(model, order, props, us, states.G,
+    Gk, fk, bk, ak, _sk = fused_block(model, order, props, us, states.G,
                                  fields_blk, n_slices=n_slices,
                                  forward=False, interpret=True)
-    Go, fo, bo, ao = _block_oracle(model, order, props, us, states.G,
+    Go, fo, bo, ao, _so = _block_oracle(model, order, props, us, states.G,
                                    fields_blk, False)
     np.testing.assert_array_equal(np.asarray(fk), np.asarray(fo))
     # naive B^-1 G B propagation amplifies fp-reordering noise by ~cond(B)^2
@@ -197,7 +200,7 @@ def _sweep_fused_oracle(model, cfg, states, forward):
         l0 = i_stack * n_stab
         fb = fields[:, l0:l0 + n_stab]          # python slice clamps the
         n_blk = fb.shape[1]                     # ragged tail block
-        G, fb, bbar, acc_b = _block_oracle(
+        G, fb, bbar, acc_b, _s = _block_oracle(
             model, orders[l0:l0 + n_stab],
             props[:, l0:l0 + n_stab], us[:, l0:l0 + n_stab], G, fb, forward)
         fields = fields.at[:, l0:l0 + n_stab].set(fb)
@@ -277,3 +280,64 @@ def test_sweep_fused_ragged_matches_oracle():
                                   np.asarray(want_b.fields))
     np.testing.assert_allclose(np.asarray(got_b.G), np.asarray(want_b.G),
                                atol=1e-11)
+
+
+def _setup_repulsive(W=2, L=4, beta=3.0, nt=12, n_stab=3,
+                     dtype=jnp.float64, seed=0, mu=0.0):
+    from dqmc_tpu.models import RepulsiveHubbard
+    lat = square_lattice(L, L)
+    model = RepulsiveHubbard.build(lat, U=4.0, t=1.0, mu=mu, beta=beta,
+                                   nt=nt, dtype=dtype)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    keys = jax.random.split(jax.random.PRNGKey(seed), W)
+    states = jax.vmap(lambda k: init_state(model, cfg, k))(keys)
+    return model, cfg, states
+
+
+def test_fused_block_2flavor_matches_oracle():
+    """The 2-flavor fused kernel (both flavor chains resident, decisions
+    coupled through R = gb * r_up * r_dn, per-walker sign tracking) must
+    reproduce the flavor-generic sequential oracle exactly — fields,
+    both flavors' G/Bbar, acceptance, AND the Metropolis sign (exercised
+    away from half filling, where R goes negative)."""
+    for forward, mu in ((True, 0.0), (False, 0.0), (True, -0.8)):
+        model, cfg, states = _setup_repulsive(mu=mu, seed=3 if mu else 0)
+        W, ns = 2, model.n_sites
+        n_slices = cfg.n_stab
+        order, props, us = _streams(model, None, n_slices, ns, model.dtype,
+                                    W, seed=7)
+        fields_blk = states.fields[:, :n_slices]
+        Gk, fk, bk, ak, sk = fused_block(model, order, props, us, states.G,
+                                         fields_blk, n_slices=n_slices,
+                                         forward=forward, interpret=True)
+        Go, fo, bo, ao, so = _block_oracle(model, order, props, us,
+                                           states.G, fields_blk, forward)
+        np.testing.assert_array_equal(np.asarray(fk), np.asarray(fo))
+        np.testing.assert_allclose(np.asarray(Gk), np.asarray(Go),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(bk), np.asarray(bo),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(ak), np.asarray(ao),
+                                   atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(sk), np.asarray(so))
+
+
+def test_sweep_fused_2flavor_stays_stable():
+    """Full 2-flavor fused sweep pairs: stabilization error stays at f64
+    noise, acceptance is sane, and the doped run's sign is tracked."""
+    model, cfg, states = _setup_repulsive(nt=12, n_stab=3, mu=-0.6, seed=2)
+    s = states
+    for _ in range(3):
+        s = sweep_pair_fused(model, cfg, s, interpret=True)
+    assert float(jnp.max(s.err_max)) < 1e-8
+    acc = float(jnp.mean(s.acc_sum)) / (2 * 3)
+    assert 0.1 < acc < 0.95
+    assert set(np.unique(np.asarray(s.sign))) <= {-1.0, 1.0}
+
+
+def test_supports_fused_2flavor_gating():
+    import dataclasses as dc
+    model, cfg, _ = _setup_repulsive()
+    assert supports_fused(model, cfg)
+    assert not supports_fused(
+        model, dc.replace(cfg, fused_update="submatrix"))
