@@ -62,6 +62,17 @@ step bench_headline 3600 python bench.py
 if [ "$MODE" = full ]; then
   step bench_small 1800 python bench.py --config small --skip-baseline
   step bench_doped 1800 python bench.py --config doped --skip-baseline
+  step bench_measured_tf32 3000 python bench.py --measured \
+      --measure-precision tf32 --skip-baseline
+  step bench_repulsive 1800 python bench.py --config repulsive \
+      --skip-baseline
+  step bench_pt 2400 python bench.py --pt
+  step bench_stretch_df32 3500 python bench.py --config stretch \
+      --dtype df32 --skip-parity --inner 1 --skip-baseline
+  step bench_stretch_df32_sub 3500 python bench.py --config stretch \
+      --dtype df32 --skip-parity --inner 1 --site-update submatrix \
+      --skip-baseline
+  step df_compile_probe 3500 python tools/df_compile_probe.py
   step profile_pair 1200 python -u tools/profile_phases.py
 fi
 echo "logs in $OUT"
