@@ -437,13 +437,15 @@ def cpu_baseline(remeasure: bool = False) -> float:
     return rate
 
 
-def probe_backend(timeout_s: int = 300) -> bool:
+def probe_backend(timeout_s: int = 900) -> bool:
     """True when the default jax backend initializes and computes.
 
     The axon TPU tunnel can wedge in a way where backend init BLOCKS
     forever (observed: jax.devices() hanging >5 min); probing in a
     subprocess with a hard timeout turns that hang into a fast, parseable
-    failure."""
+    failure.  The timeout must sit ABOVE the tunnel's healthy first-
+    readback warm-up, measured at 140-310 s per fresh process (round-3
+    probes) — 300 s lost the race and skipped a healthy chip."""
     code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8));"
             "print(float((x @ x).sum()))")
     try:

@@ -181,7 +181,8 @@ def identity_stack_df(nfl: int, n_slots: int, ns: int) -> LDRdf:
     z_m = jnp.zeros_like(eye)
     ones = jnp.ones((nfl, n_slots, ns), jnp.float32)
     z_v = jnp.zeros_like(ones)
-    return LDRdf(DF(eye, z_m), DF(ones, z_v), DF(eye, z_m))
+    return LDRdf(DF(eye, z_m), DF(ones, z_v), DF(eye, z_m),
+                 jnp.zeros((nfl, n_slots, ns), jnp.int32))
 
 
 def identity_slot_df(nfl: int, ns: int) -> LDRdf:
@@ -189,7 +190,7 @@ def identity_slot_df(nfl: int, ns: int) -> LDRdf:
     eye = jnp.tile(jnp.eye(ns, dtype=jnp.float32), (nfl, 1, 1))
     ones = jnp.ones((nfl, ns), jnp.float32)
     return LDRdf(DF(eye, jnp.zeros_like(eye)), DF(ones, jnp.zeros_like(ones)),
-                 DF(eye, jnp.zeros_like(eye)))
+                 DF(eye, jnp.zeros_like(eye)), jnp.zeros((nfl, ns), jnp.int32))
 
 
 def _eye_df(nfl: int, ns: int) -> DF:
@@ -427,9 +428,16 @@ def f32_view(state: DFWalkerState):
     """
     from dqmc_tpu.engine.state import WalkerState
     from dqmc_tpu.ops.linalg import LDR
+    # linearize the exponent-split ladder with the f32 path's own log
+    # clamp (ops/linalg._log_clamp): beyond e^+-60 the f32 view is
+    # saturated either way, and the clamp keeps it inf-free
+    dm = state.stack.d.hi
+    log_d = jnp.log(jnp.where(dm == 0, 1.0, dm)) \
+        + jnp.float32(0.6931471805599453) * state.stack.e.astype(jnp.float32)
+    d32 = jnp.where(dm == 0, 0.0, jnp.exp(jnp.clip(log_d, -60.0, 60.0)))
     return WalkerState(
         fields=state.fields, G=state.G,
-        stack=LDR(state.stack.L.hi, state.stack.d.hi, state.stack.R.hi),
+        stack=LDR(state.stack.L.hi, d32, state.stack.R.hi),
         log_det_M=state.log_det_M, key=state.key, acc_sum=state.acc_sum,
         sign=state.sign, err_max=state.err_max, err_sum=state.err_sum,
         err_count=state.err_count)

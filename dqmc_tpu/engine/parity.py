@@ -148,7 +148,8 @@ def rebuild_chain(model, cfg: EngineConfig, fields: jax.Array, nm=df32,
         blocks = fields[:cfg.n_stack * cfg.n_stab].reshape(
             cfg.n_stack, cfg.n_stab, -1)[::-1]
         F0 = df_linalg.LDRdf(eye, nm.df(jnp.ones(ns, jnp.float32)),
-                             nm.df(jnp.eye(ns, dtype=jnp.float32)))
+                             nm.df(jnp.eye(ns, dtype=jnp.float32)),
+                             jnp.zeros((ns,), jnp.int32))
 
         def body(F, fields_blk):
             BbarT = df_linalg.transpose(block_product(fields_blk))
@@ -194,7 +195,8 @@ def _identity_ldr(ns: int, nm, nfl: int | None = None):
     shape = (ns, ns) if nfl is None else (nfl, ns, ns)
     eye = nm.df(jnp.broadcast_to(jnp.eye(ns, dtype=jnp.float32), shape))
     ones = nm.df(jnp.ones(shape[:-2] + (ns,), jnp.float32))
-    return df_linalg.LDRdf(eye, ones, eye)
+    return df_linalg.LDRdf(eye, ones, eye,
+                           jnp.zeros(shape[:-2] + (ns,), jnp.int32))
 
 
 def _slice_invB(model, invexpK, fields_l: jax.Array, nm,

@@ -44,20 +44,42 @@ from dqmc_tpu.ops.df_qr import df_qr
 
 
 class LDRdf(NamedTuple):
-    """M = L * diag(d) * R at multiword (df32 or tf32) precision.
+    """M = L * diag(d * 2^e) * R at multiword (df32 or tf32) precision.
 
-    d is stored as a multiword tuple of the SCALES (not logs):
-    per-factor scales stay within f32 range by construction (folds
-    re-equilibrate every n_stab slices; the accumulated ladder lives
-    across factors).
+    The scale ladder is stored exponent-split: ``d`` is a multiword
+    MANTISSA with hi in [1, 2) (exactly 0 for structurally dead
+    columns) and ``e`` an int32 power-of-two exponent per column.  The
+    split exists because the accumulated d-ladder is NOT f32-
+    representable at production scale: a beta=16 chain spans e^{+-148}
+    (measured, tools/stretch range probe) against f32's e^{+-88}.  The
+    reference stores d in f64 (range e^{+-709}, stablelinalg.cpp:35-55);
+    the exponent channel is the TPU-native equivalent with effectively
+    unbounded range — folds compose scales symbolically
+    (``mat_mul_ldr``) so no dense intermediate ever carries the ladder,
+    and mantissa renormalization is EXACT (power-of-two component
+    scaling, no rounding).
     """
     L: DF
     d: DF
     R: DF
+    e: jax.Array
 
     @property
     def n(self):
         return self.L.hi.shape[-1]
+
+
+def _renorm_d(d: DF, e: jax.Array, nm=df32):
+    """Normalize the mantissa hi into [1, 2), folding the shift into e.
+
+    Scaling every multiword component by one integer power of two is
+    exact, so the represented value is preserved bit-for-bit (the lo
+    words' subnormal underflow floor sits ~2^-126 below the [1,2)
+    mantissa — unreachable).  Zero mantissas pass through unshifted."""
+    _, ex = jnp.frexp(d.hi)                 # d.hi = m * 2^ex, m in [.5, 1)
+    sh = jnp.where(d.hi > 0, ex - 1, 0).astype(jnp.int32)
+    d2 = nm.cmap(lambda c: jnp.ldexp(c, -sh), d)
+    return d2, e + sh
 
 
 def transpose(x):
@@ -142,11 +164,14 @@ def to_ldr(M: DF, nm=df32) -> LDRdf:
         lambda c: jnp.take_along_axis(c, inv_perm[..., None, :], axis=-1),
         R)
     L = nm.cmap(lambda c: c * sign[..., None, :], Q)
-    return LDRdf(L, d, R)
+    d, e = _renorm_d(d, jnp.zeros(d.hi.shape, jnp.int32), nm=nm)
+    return LDRdf(L, d, R, e)
 
 
 def ldr_matrix(F: LDRdf, nm=df32) -> DF:
-    """Dense L * diag(d) * R (tests / oracles).
+    """Dense L * diag(d 2^e) * R (tests / oracles ONLY: the dense form
+    overflows f32 whenever the ladder does — that's the point of the
+    exponent channel).
 
     Associated as L @ (diag(d) R): the Ozaki matmul scales its lhs per
     ROW and its rhs per COLUMN, so the d-grading must ride the rhs rows
@@ -155,25 +180,107 @@ def ldr_matrix(F: LDRdf, nm=df32) -> DF:
     columnwise accuracy (measured 0.17 relative on an e^+-15 ladder vs
     2^-46 this way)."""
     Rd = nm.mul(F.R, _bcast_col(F.d, F.R.hi.shape))
+    Rd = nm.cmap(lambda c: jnp.ldexp(c, F.e[..., :, None]), Rd)
     return nm.matmul(F.L, Rd)
 
 
 def mat_mul_ldr(B: DF, F: LDRdf, nm=df32) -> LDRdf:
-    """LDR of (B @ F_matrix): the forward fold (stablelinalg.cpp:69-79)."""
+    """LDR of (B @ F_matrix): the forward fold (stablelinalg.cpp:69-79).
+
+    Never materializes diag(d 2^e): with L orthonormal and B one
+    stabilization block, BL = B @ L is O(|B|); the true column scales
+    factor as (colmax|BL| * d) * 2^e and ride symbolically.  The QR
+    input is the colmax-equilibrated BL — identical (to df rounding) to
+    equilibrating the dense product B L diag(d 2^e) by ITS colmax, since
+    the per-column scale divides out — so the factorization quality is
+    unchanged while the ladder range becomes unbounded."""
     BL = nm.matmul(B, F.L)
-    Bd = nm.mul(BL, _bcast_row(F.d, BL.hi.shape))
-    F2 = to_ldr(Bd, nm=nm)
-    R = nm.matmul(F2.R, F.R)
-    return LDRdf(F2.L, F2.d, R)
+    c = jnp.max(jnp.abs(BL.hi), axis=-2)
+    dead_in = (c == 0) | (F.d.hi == 0)
+    cs = jnp.where(dead_in, jnp.ones_like(c), c)
+    # full column scale (mantissa m, exponent e): m 2^e = cs * d 2^F.e
+    m = nm.mul(nm.df(cs), F.d)
+    m, e = _renorm_d(m, F.e, nm=nm)
+    m = nm.where(dead_in, nm.df(jnp.ones_like(c)), m)
+    e = jnp.where(dead_in, jnp.zeros_like(e), e)
+    # descending-scale presort; the f32 key only needs to ORDER columns
+    # (near-ties order arbitrarily, as with the dense colmax key)
+    t = e.astype(jnp.float32) + jnp.log2(m.hi)
+    t = jnp.where(dead_in, -jnp.inf, t)
+    perm = jnp.argsort(-t, stable=True)
+    row_take = lambda v: jnp.take_along_axis(v, perm, axis=-1)  # noqa: E731
+    col_take = lambda v: jnp.take_along_axis(                   # noqa: E731
+        v, perm[..., None, :], axis=-1)
+    inv_c = nm.div(nm.df(jnp.ones_like(cs)), nm.df(cs))
+    Mn = nm.mul(BL, _bcast_row(inv_c, BL.hi.shape))
+    Mn = nm.cmap(col_take, Mn)
+    mp = nm.cmap(row_take, m)
+    ep = row_take(e)
+    deadp = row_take(dead_in)
+    Q, Rn = _qr(Mn, nm=nm)
+    dn = _diag(Rn)
+    sign = jnp.where(dn.hi < 0, jnp.float32(-1), jnp.float32(1))
+    dabs = nm.cmap(lambda cc: cc * sign, dn)
+    dead = deadp | (dabs.hi == 0)
+    dabs_safe = nm.where(dabs.hi == 0, nm.df(jnp.ones_like(dabs.hi)), dabs)
+    d_new = nm.mul(dabs_safe, mp)
+    d_new, e_new = _renorm_d(d_new, ep, nm=nm)
+    d_new = nm.where(dead, nm.df(jnp.zeros_like(d_new.hi)), d_new)
+    e_new = jnp.where(dead, jnp.zeros_like(e_new), e_new)
+    # R: rows rescaled by sign/|dn|, then un-equilibrated by
+    # ratio_{ij} = scale_j / scale_i = (m_j / m_i) 2^{e_j - e_i} — the
+    # mantissa part is a bounded multiword division, the exponent part
+    # an EXACT component ldexp (underflow to 0 deep below the diagonal
+    # is harmless: those entries are ~e^{-ladder} in exact arithmetic)
+    inv_dn = nm.div(nm.df(sign), dabs_safe)
+    R1 = nm.mul(Rn, _bcast_col(inv_dn, Rn.hi.shape))
+    n = Rn.hi.shape[-1]
+    upper = (jnp.arange(n)[:, None] <= jnp.arange(n)[None, :])
+    mr = nm.div(_bcast_row(mp, R1.hi.shape), _bcast_col(mp, R1.hi.shape))
+    de = ep[..., None, :] - ep[..., :, None]
+    ratio = nm.cmap(lambda cc: jnp.ldexp(cc, de), mr)
+    ratio = nm.where(upper, ratio, nm.df(jnp.zeros_like(ratio.hi)))
+    R1 = nm.mul(R1, ratio)
+    inv_perm = jnp.argsort(perm, axis=-1)
+    R1 = nm.cmap(lambda cc: jnp.take_along_axis(
+        cc, inv_perm[..., None, :], axis=-1), R1)
+    L = nm.cmap(lambda cc: cc * sign[..., None, :], Q)
+    R = nm.matmul(R1, F.R)
+    return LDRdf(L, d_new, R, e_new)
 
 
-def _split_scales(d: DF, nm=df32):
-    """(d_large, d_small): clamped >= 1 / <= 1 (stablelinalg.cpp:100)."""
-    one = jnp.ones_like(d.hi)
-    big = d.hi > 1.0
-    dl = nm.where(big, d, nm.df(one))
-    ds = nm.where(big, nm.df(one), d)
-    return dl, ds
+_LN2 = 0.6931471805599453
+
+
+def _split_scales(d: DF, e: jax.Array, nm=df32):
+    """Range-safe D_large/D_small split (stablelinalg.cpp:100).
+
+    Returns ``(inv_dl, ds, log_m, e_big)``:
+
+    - ``inv_dl`` = 1/max(d 2^e, 1) as a LINEAR multiword.  Entries below
+      ~2^-126 underflow to exact 0 — harmless: they enter the middle
+      matrix additively against O(1) rows, so anything below ~2^-60 is
+      invisible at multiword grade (in the reference's f64 they are
+      ~e^-150 — equally invisible).
+    - ``ds`` = min(d 2^e, 1) linear, same underflow argument.
+    - ``log_m`` (log of the mantissa where the scale is > 1, else 0) and
+      ``e_big`` (the exponent where > 1, else 0): log(D_large) summed
+      exactly as sum(log_m) + ln2 * sum(e_big) for the log-det.
+
+    With the mantissa invariant hi in [1, 2), d 2^e >= 1 iff e >= 0,
+    so the split predicate is exact integer arithmetic."""
+    big = e >= 0
+    one = nm.df(jnp.ones_like(d.hi))
+    # clamp the ldexp argument so the not-taken branch never makes infs
+    ds = nm.where(big, one,
+                  nm.cmap(lambda c: jnp.ldexp(c, jnp.minimum(e, 0)), d))
+    inv_m = nm.div(one, d)
+    inv_dl = nm.where(
+        big, nm.cmap(lambda c: jnp.ldexp(c, -jnp.maximum(e, 0)), inv_m),
+        one)
+    log_m = jnp.where(big, jnp.log(nm.to_f64(d)), 0.0)
+    e_big = jnp.where(big, e, 0)
+    return inv_dl, ds, log_m, e_big
 
 
 def _f32_qr(A_hi: jax.Array):
@@ -258,11 +365,10 @@ def _middle_matrix(F1: LDRdf, F2t: LDRdf, nm=df32):
 
         M = D1l^{-1} (L1^T L2) D2l^{-1} + D1s (R1 R2^T) D2s
 
-    Returns (M, d-scale splits) so callers assemble their own G."""
-    d1l, d1s = _split_scales(F1.d, nm=nm)
-    d2l, d2s = _split_scales(F2t.d, nm=nm)
-    inv_d1l = nm.div(nm.df(jnp.ones_like(d1l.hi)), d1l)
-    inv_d2l = nm.div(nm.df(jnp.ones_like(d2l.hi)), d2l)
+    Returns (M, splits, log-det pieces) so callers assemble their own
+    G; every piece is range-safe (see _split_scales)."""
+    inv_d1l, d1s, lm1, le1 = _split_scales(F1.d, F1.e, nm=nm)
+    inv_d2l, d2s, lm2, le2 = _split_scales(F2t.d, F2t.e, nm=nm)
     L1T = transpose(F1.L)
     shape = L1T.hi.shape
     termA = nm.matmul(L1T, F2t.L)
@@ -272,7 +378,10 @@ def _middle_matrix(F1: LDRdf, F2t: LDRdf, nm=df32):
     termB = nm.mul(termB, _bcast_col(d1s, shape))
     termB = nm.mul(termB, _bcast_row(d2s, shape))
     M = nm.add(termA, termB)
-    return M, L1T, (d1l, d1s, inv_d1l), (d2l, d2s, inv_d2l)
+    log_dl = (jnp.sum(lm1, axis=-1) + jnp.sum(lm2, axis=-1)
+              + _LN2 * (jnp.sum(le1, axis=-1)
+                        + jnp.sum(le2, axis=-1)).astype(lm1.dtype))
+    return M, L1T, (d1s, inv_d1l), (d2s, inv_d2l), log_dl
 
 
 def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
@@ -282,17 +391,14 @@ def inv_one_plus_ldr_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
     the LDR of B(beta,tau)^T, the middle matrix is equilibrated, and
     G = (L2 / d2l) M^{-1} (L1^T / d1l) (cf. stablelinalg.cpp:94-126).
     """
-    M, L1T, (d1l, _, inv_d1l), (d2l, _, inv_d2l) = _middle_matrix(
+    M, L1T, (_, inv_d1l), (_, inv_d2l), log_dl = _middle_matrix(
         F1, F2t, nm=nm)
     shape = L1T.hi.shape
     Y = nm.mul(L1T, _bcast_col(inv_d1l, shape))
     X, logabs = _solve_refined(M, Y, nm=nm)
     W2 = nm.mul(F2t.L, _bcast_row(inv_d2l, shape))
     G = nm.matmul(W2, X)
-    log_det = (jnp.sum(jnp.log(nm.to_f64(d1l)), axis=-1)
-               + jnp.sum(jnp.log(nm.to_f64(d2l)), axis=-1)
-               + logabs)
-    return G, log_det
+    return G, log_dl + logabs
 
 
 def inv_triplet_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
@@ -311,7 +417,7 @@ def inv_triplet_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
     refines against M^T with the same Q/R factors (_solve_refined's Yt
     path).  Returns (Gtt, Gt0, G0t, log_det) as nm tuples / f64 scalar.
     """
-    M, L1T, (d1l, d1s, inv_d1l), (d2l, d2s, inv_d2l) = _middle_matrix(
+    M, L1T, (d1s, inv_d1l), (d2s, inv_d2l), log_dl = _middle_matrix(
         F1, F2t, nm=nm)
     shape = L1T.hi.shape
     n = F1.n
@@ -326,7 +432,4 @@ def inv_triplet_dag(F1: LDRdf, F2t: LDRdf, nm=df32):
     Gt0 = nm.matmul(W2, nm.cmap(lambda c: c[..., :, n:], X))
     W1 = nm.mul(F1.L, _bcast_row(inv_d1l, shape))
     G0t = transpose(nm.neg(nm.matmul(W1, Xt)))
-    log_det = (jnp.sum(jnp.log(nm.to_f64(d1l)), axis=-1)
-               + jnp.sum(jnp.log(nm.to_f64(d2l)), axis=-1)
-               + logabs)
-    return Gtt, Gt0, G0t, log_det
+    return Gtt, Gt0, G0t, log_dl + logabs

@@ -51,6 +51,11 @@ def _to64(x: DF):
     return np.asarray(df32.to_f64(x))
 
 
+def _d_full(F):
+    """The full d-ladder in f64: mantissa * 2^e (exponent channel)."""
+    return _to64(F.d) * np.exp2(np.asarray(F.e, np.float64))
+
+
 def _b_chain(rng, n, nt, beta, U=4.0, mu=-0.1):
     """Realistic DQMC B-matrix chain (free kinetics + random HS diags)."""
     import scipy.linalg as sla
@@ -135,7 +140,7 @@ def test_to_ldr_reconstructs(rng):
     M = _to64(df_linalg.ldr_matrix(F))
     col = np.abs(A64).max(axis=0)
     assert (np.abs(M - A64).max(axis=0) / col).max() < 2.0 ** -40
-    d = np.sort(_to64(F.d))[::-1]
+    d = np.sort(_d_full(F))[::-1]
     assert d[0] / d[-1] > 1e8        # genuinely graded
     L = _to64(F.L)
     assert np.abs(L.T @ L - np.eye(n)).max() < 2.0 ** -42
@@ -150,13 +155,42 @@ def test_fold_chain_matches_f64(rng):
     Fdf = _df_suffix(Bs, n_stab)
     F64 = _stab64_suffix(Bs, n_stab)
     # compare factored representations: d-ladder relative + L span
-    d_df = np.sort(_to64(Fdf.d))[::-1]
+    d_df = np.sort(_d_full(Fdf))[::-1]
     d_64 = np.sort(np.asarray(F64.d))[::-1]
     rel = np.abs(d_df - d_64) / d_64
     assert rel.max() < 1e-6, rel.max()
     L_df, L_64 = _to64(Fdf.L), np.asarray(F64.L)
     span = np.abs(L_df @ L_df.T - L_64 @ L_64.T).max()
     assert span < 1e-9, span
+
+
+def test_fold_chain_beta16_stretch_grade(rng):
+    """The stretch-scale regression (VERDICT r2 item 2): a beta=16 chain
+    whose accumulated d-ladder spans ~e^{+-140} — NOT f32-representable
+    (max ~e^88).  The exponent channel must carry it: the fold chain,
+    the dag inverse, and the log-det all track the f64 stabilized chain,
+    and the ladder provably exceeds linear-f32 range (so this test fails
+    on any representation that materializes d in f32)."""
+    n, nt, beta, n_stab = 36, 80, 16.0, 5
+    Bs = _b_chain(rng, n, nt, beta)
+    Fdf = _df_suffix(Bs, n_stab)
+    F64 = _stab64_suffix(Bs, n_stab)
+    log_d = np.log(_to64(Fdf.d)) + np.log(2.0) * np.asarray(
+        Fdf.e, np.float64)
+    assert log_d.max() > 95.0 and log_d.min() < -95.0, (
+        log_d.min(), log_d.max())
+    d_df = np.sort(_d_full(Fdf))[::-1]
+    d_64 = np.sort(np.asarray(F64.d))[::-1]
+    rel = np.abs(d_df - d_64) / d_64
+    assert rel.max() < 1e-6, rel.max()
+
+    G, log_det = df_linalg.inv_one_plus_ldr_dag(
+        df_linalg.to_ldr(df32.df(jnp.eye(n, dtype=jnp.float32))), Fdf)
+    G64, ld64 = linalg.inv_one_plus_ldr_dag(
+        linalg.identity_ldr(n, jnp.float64), F64)
+    err = np.abs(_to64(G) - np.asarray(G64)).max()
+    assert err < 1e-7, err
+    assert abs(float(log_det) - float(ld64)) / abs(float(ld64)) < 1e-6
 
 
 def test_inv_one_plus_dag_matches_f64(rng):
