@@ -248,7 +248,8 @@ def _divisor_stride(nt: int, want: int) -> int:
 def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
                         symmetric: bool = False,
                         n_stab: int | None = None,
-                        use_scan: bool | None = None):
+                        use_scan: bool | None = None,
+                        prop_nm=None):
     """Batched measurement-grade unequal-time sweep.
 
     Returns ``uneq_step(states) -> (ys, err)`` for
@@ -268,6 +269,18 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
     ``measure_fn(Gtt, Gt0, G0t, G00)`` per tau on the f64 views.
     ``err`` is the propagated-vs-stabilized self-check at the tier's
     own grade (the check_error analogue, dqmc.cpp:500-511).
+
+    ``prop_nm`` — the arithmetic of the WITHIN-BLOCK propagation (the 5
+    multiword matmuls per slice).  Default: df32 when nm is tf32
+    ("mixed" grade), else nm itself.  Rationale: stack folds and the
+    triplet stabilization set the tier's floor, but between stab points
+    each tau value only accumulates <= n_stab slices of propagation
+    rounding from an nm-exact state — at df32 that drift is ~5e-11 at
+    stride*dtau = 0.25 (pinned vs 60-digit gold in tests/test_parity
+    .py), still under the tf tier's 1e-10 target, while a df32 matmul
+    costs ~1/3 of a tf32 one and the per-slice wraps dominate the sweep
+    (5*nt of them vs ~n_stack QR folds).  Pass ``prop_nm=nm`` for the
+    pure single-grade tier.
     """
     _check_model(model64)
     if use_scan is None:
@@ -294,32 +307,54 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             n_stab = max(1, min(n_stab, int(0.4 / dtau)))
     n_stab = _divisor_stride(nt, n_stab)
     n_stack = nt // n_stab
+    if prop_nm is None:
+        from dqmc_tpu.ops import tf32 as _tf32
+        prop_nm = df32 if nm is _tf32 else nm
+    pn = prop_nm
+    if pn is not nm:
+        from dqmc_tpu.ops import tf32 as _tf32
+        if not (nm is _tf32 and pn is df32):
+            raise ValueError("measurement_uneq_fn: prop_nm must be nm "
+                             "itself, or df32 under nm=tf32")
+        conv = _tf32.to_df
+    else:
+        conv = lambda x: x  # noqa: E731
     signs = _flavor_signs(model64)
     nfl = len(signs)
     expK = nm.from_f64(model64.expK)
-    invexpK = nm.from_f64(model64.invexpK)
+    expK_p = pn.from_f64(model64.expK)
+    invexpK_p = pn.from_f64(model64.invexpK)
     eyeB32 = jnp.broadcast_to(jnp.eye(ns, dtype=jnp.float32),
                               (nfl, ns, ns))
 
-    def bcast(M):
-        return nm.cmap(lambda c: jnp.broadcast_to(c, (nfl, ns, ns)), M)
+    def bcast(mod, M):
+        return mod.cmap(lambda c: jnp.broadcast_to(c, (nfl, ns, ns)), M)
 
-    left = bcast(nm.from_f64(model64.invexpK_half))
-    right = bcast(nm.from_f64(model64.expK_half))
+    left = bcast(nm, nm.from_f64(model64.invexpK_half))
+    right = bcast(nm, nm.from_f64(model64.expK_half))
+    left_p = bcast(pn, pn.from_f64(model64.invexpK_half))
+    right_p = bcast(pn, pn.from_f64(model64.expK_half))
 
     def warp_m(G):
         # engine.sweep.half_warp convention: G~ = invexpK_half @ G @ expK_half
         return nm.matmul(nm.matmul(left, G), right) if symmetric else G
 
+    def warp_p(G):
+        return pn.matmul(pn.matmul(left_p, G), right_p) if symmetric else G
+
     def B_all(fields_l):
-        """(nfl, ns, ns) multiword B_l, one stored flavor per sign."""
+        """(nfl, ns, ns) multiword B_l at nm, one stored flavor per sign."""
         Bs = [_slice_B(model64, expK, fields_l, nm, s) for s in signs]
         return nm.cmap(lambda *cs: jnp.stack(cs), *Bs)
 
-    def invB_all(fields_l):
-        Bs = [_slice_invB(model64, invexpK, fields_l, nm, s)
+    def B_all_p(fields_l):
+        Bs = [_slice_B(model64, expK_p, fields_l, pn, s) for s in signs]
+        return pn.cmap(lambda *cs: jnp.stack(cs), *Bs)
+
+    def invB_all_p(fields_l):
+        Bs = [_slice_invB(model64, invexpK_p, fields_l, pn, s)
               for s in signs]
-        return nm.cmap(lambda *cs: jnp.stack(cs), *Bs)
+        return pn.cmap(lambda *cs: jnp.stack(cs), *Bs)
 
     def one(fields):
         blocks = fields[:nt].reshape(n_stack, n_stab, -1)
@@ -333,15 +368,20 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         # phase A: suffix LDR stack at block boundaries.  F2t[k] holds
         # B(beta, k*n_stab)^T; F2t[n_stack] = identity (the identity
         # padding that kills the reference's tau = beta special case,
-        # dqmc.cpp:265-274).
+        # dqmc.cpp:265-274).  Each block's nm-grade product is emitted
+        # alongside and REUSED by phase B's Bt0 fold (the forward scan
+        # recomputed it before — ~n_stab nm matmuls per block saved).
         def suf_body(F, fields_blk):
-            BbarT = df_linalg.transpose(block_product(fields_blk))
-            F2 = df_linalg.mat_mul_ldr(BbarT, F, nm=nm)
-            return F2, F2
+            Bbar = block_product(fields_blk)
+            F2 = df_linalg.mat_mul_ldr(df_linalg.transpose(Bbar), F,
+                                       nm=nm)
+            return F2, (F2, Bbar)
 
         F_id = _identity_ldr(ns, nm, nfl)
-        _, suffixes_rev = _scan(suf_body, F_id, blocks[::-1], use_scan)
+        _, (suffixes_rev, Bbars_rev) = _scan(suf_body, F_id, blocks[::-1],
+                                             use_scan)
         suffixes = jax.tree_util.tree_map(lambda a: a[::-1], suffixes_rev)
+        Bbars = jax.tree_util.tree_map(lambda a: a[::-1], Bbars_rev)
         # boundaries 1..n_stack consumed by the forward scan (k+1-th)
         bounds = jax.tree_util.tree_map(
             lambda a, i: jnp.concatenate([a[1:], i[None]]), suffixes,
@@ -350,47 +390,48 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         F2t_0 = jax.tree_util.tree_map(lambda a: a[0], suffixes)
         G00, _ = df_linalg.inv_one_plus_ldr_dag(
             df_linalg.to_ldr(nm.df(eyeB32), nm=nm), F2t_0, nm=nm)
+        # G00 feeds every tau's disconnected terms — warp it once at
+        # full nm grade; the per-tau emits run at pn grade
         G00_64 = nm.to_f64(warp_m(G00))
 
         def emit64(Gtt, Gt0, G0t):
-            return measure_fn(nm.to_f64(warp_m(Gtt)),
-                              nm.to_f64(warp_m(Gt0)),
-                              nm.to_f64(warp_m(G0t)), G00_64)
+            return measure_fn(pn.to_f64(warp_p(Gtt)),
+                              pn.to_f64(warp_p(Gt0)),
+                              pn.to_f64(warp_p(G0t)), G00_64)
 
         def blk_body(carry, xs):
-            Gtt, Gt0, G0t, Bt0, emax = carry
-            fields_blk, F2t_next = xs
-            Bbar = nm.df(eyeB32)
+            Gtt, Gt0, G0t, Bt0, emax = carry            # pn tuples
+            fields_blk, F2t_next, Bbar_blk = xs
             outs = []
             for k in range(n_stab):
-                B = B_all(fields_blk[k])
-                invB = invB_all(fields_blk[k])
-                Gtt = nm.matmul(nm.matmul(B, Gtt), invB)
-                Gt0 = nm.matmul(B, Gt0)
-                G0t = nm.matmul(G0t, invB)
-                Bbar = nm.matmul(B, Bbar)
+                B = B_all_p(fields_blk[k])
+                invB = invB_all_p(fields_blk[k])
+                Gtt = pn.matmul(pn.matmul(B, Gtt), invB)
+                Gt0 = pn.matmul(B, Gt0)
+                G0t = pn.matmul(G0t, invB)
                 if k == n_stab - 1:
-                    Bt0 = df_linalg.mat_mul_ldr(Bbar, Bt0, nm=nm)
+                    Bt0 = df_linalg.mat_mul_ldr(Bbar_blk, Bt0, nm=nm)
                     Gtt_s, Gt0_s, G0t_s, _ = df_linalg.inv_triplet_dag(
                         Bt0, F2t_next, nm=nm)
                     err = jnp.zeros((), jnp.float64)
                     for a, b in ((Gtt, Gtt_s), (Gt0, Gt0_s), (G0t, G0t_s)):
                         err = jnp.maximum(err, jnp.max(jnp.abs(
-                            nm.to_f64(a) - nm.to_f64(b))))
+                            pn.to_f64(a) - nm.to_f64(b))))
                     emax = jnp.maximum(emax, err)
-                    Gtt, Gt0, G0t = Gtt_s, Gt0_s, G0t_s
+                    Gtt, Gt0, G0t = conv(Gtt_s), conv(Gt0_s), conv(G0t_s)
                 outs.append((Gtt, Gt0, G0t))
             stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *outs)
             ys = jax.vmap(emit64)(*stacked)
             return (Gtt, Gt0, G0t, Bt0, emax), ys
 
-        carry0 = (G00, G00, nm.sub(G00, nm.df(eyeB32)),
+        G00_p = conv(G00)
+        carry0 = (G00_p, G00_p, pn.sub(G00_p, pn.df(eyeB32)),
                   _identity_ldr(ns, nm, nfl), jnp.zeros((), jnp.float64))
         (Gtt, Gt0, G0t, Bt0, emax), ys = _scan(
-            blk_body, carry0, (blocks, bounds), use_scan)
+            blk_body, carry0, (blocks, bounds, Bbars), use_scan)
         ys = jax.tree_util.tree_map(
             lambda a: a.reshape((nt,) + a.shape[2:]), ys)
-        y0 = emit64(G00, G00, nm.sub(G00, nm.df(eyeB32)))
+        y0 = emit64(G00_p, G00_p, pn.sub(G00_p, pn.df(eyeB32)))
         ys = jax.tree_util.tree_map(
             lambda f, r: jnp.concatenate([f[None], r], axis=0), y0, ys)
         return ys, emax

@@ -29,11 +29,13 @@ step bench_df32_headline 4500 python bench.py --dtype df32 \
 step bench_doped 2400 python bench.py --config doped --skip-baseline
 step bench_repulsive 2400 python bench.py --config repulsive \
     --skip-baseline
-step bench_stretch_df32 5400 python bench.py --config stretch \
-    --dtype df32 --skip-parity --inner 1 --skip-baseline
-step bench_stretch_df32_sub 4500 python bench.py --config stretch \
-    --dtype df32 --skip-parity --inner 1 --site-update submatrix \
-    --skip-baseline
+# W=2: the old-HEAD stretch attempt compiled but RESOURCE_EXHAUSTED at
+# W=4 (the df stack alone is ~1.1 GB/walker at ns=1024, nt/n_stab=64)
+step bench_stretch_df32 7000 python bench.py --config stretch \
+    --dtype df32 --walkers 2 --skip-parity --inner 1 --skip-baseline
+step bench_stretch_df32_sub 7000 python bench.py --config stretch \
+    --dtype df32 --walkers 2 --skip-parity --inner 1 \
+    --site-update submatrix --skip-baseline
 step bench_measured_tf32 4500 python bench.py --measured \
     --measure-precision tf32 --skip-baseline
 step bench_measured_df32 4500 python bench.py --measured \
