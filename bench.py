@@ -606,12 +606,18 @@ def main():
                "--config", args.config, "--dtype", parity_dtype,
                "--walkers", str(walkers), "--inner", "2",
                "--skip-baseline", "--skip-parity"]
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=3000, cwd=REPO)
-        if out.returncode == 0 and out.stdout.strip():
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=4200, cwd=REPO)
+        except subprocess.TimeoutExpired:
+            out = None
+            log("parity subprocess timed out (4200s)")
+        if out is not None and out.returncode == 0 and out.stdout.strip():
             parity_raw = json.loads(out.stdout.strip().splitlines()[-1])
-        else:
-            log("parity subprocess failed:", out.stderr[-2000:])
+        elif out is not None:
+            log(f"parity subprocess failed (rc={out.returncode}):",
+                out.stderr[-2000:] or "<empty stderr>",
+                "| stdout:", out.stdout[-500:] or "<empty>")
 
     r = tpu_throughput(walkers, args.inner, args.reps,
                        checkerboard=cb, dtype_name=args.dtype,
