@@ -271,16 +271,16 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
     own grade (the check_error analogue, dqmc.cpp:500-511).
 
     ``prop_nm`` — the arithmetic of the WITHIN-BLOCK propagation (the 5
-    multiword matmuls per slice).  Default: df32 when nm is tf32
-    ("mixed" grade), else nm itself.  Rationale: stack folds and the
-    triplet stabilization set the tier's floor, but between stab points
-    each tau value only accumulates <= n_stab slices of propagation
-    rounding from an nm-exact state — at df32 that drift is ~5e-11 at
-    stride*dtau = 0.25 (pinned vs 60-digit gold in tests/test_parity
-    .py), still under the tf tier's 1e-10 target, while a df32 matmul
-    costs ~1/3 of a tf32 one and the per-slice wraps dominate the sweep
-    (5*nt of them vs ~n_stack QR folds).  Pass ``prop_nm=nm`` for the
-    pure single-grade tier.
+    multiword matmuls per slice); default nm itself.  A df32-propagation
+    "mixed" mode under nm=tf32 was MEASURED A DEAD END on chip
+    (round-3): throughput 1.86 -> 1.76 measured sweeps/s — the sweep is
+    dominated by the ~2*n_stack sequential-column multiword XLA QR
+    folds, not the slice wraps — while the mid-block df drift reached
+    7.2e-10 at the 16x16 headline (stride*dtau = 0.25), eating the
+    <1e-10 target.  The winning lever is the fold COUNT: nm=tf32
+    defaults to a 2x stabilization stride below (same as
+    measurement_greens_fn — the tf floor has orders of headroom), which
+    halves the QR folds outright.
     """
     _check_model(model64)
     if use_scan is None:
@@ -303,13 +303,28 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         # engine's schedule (the reference's own, dqmc.cpp:481-512).
         n_stab = cfg.n_stab
         if nm is df32:
+            # 0.2/dtau cap (was 0.4): the L=4 CPU calibration
+            # underestimates production-scale drift ~50x — on chip at
+            # the 16x16 headline the 0.25-stride df tier self-checked
+            # at 1.35e-5, ABOVE the reference's own 1e-6 warning
+            # threshold.  0.2 pins 4.6e-11 at L=4 => ~1e-8 headline
+            # grade, the tier's advertised level.
             dtau = float(model64.beta) / nt
-            n_stab = max(1, min(n_stab, int(0.4 / dtau)))
+            n_stab = max(1, min(n_stab, int(0.2 / dtau)))
+        else:
+            # tf32: 2x the engine stride — halves the multiword QR
+            # folds, the measured dominant cost of this sweep (see
+            # prop_nm note above).  Capped at stride*dtau <= 1.0, the
+            # point where tf32 is measured to keep <1e-10 (module
+            # docstring table); the headline shape (dtau = 0.05) sits
+            # at 0.5 with that margin, and the equal-time tier ships
+            # the same 2x default (measurement_greens_fn below).
+            dtau = float(model64.beta) / nt
+            n_stab = max(1, min(2 * cfg.n_stab, int(1.0 / dtau)))
     n_stab = _divisor_stride(nt, n_stab)
     n_stack = nt // n_stab
     if prop_nm is None:
-        from dqmc_tpu.ops import tf32 as _tf32
-        prop_nm = df32 if nm is _tf32 else nm
+        prop_nm = nm
     pn = prop_nm
     if pn is not nm:
         from dqmc_tpu.ops import tf32 as _tf32

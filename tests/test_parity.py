@@ -237,6 +237,66 @@ def test_tf_uneq_and_currxx_vs_gold():
         assert err < 1e-10, f"currxxTau(tau={tau}): {err:.3e}"
 
 
+def test_tf_uneq_2x_stride_fine_dtau_vs_gold():
+    """The 2x-stabilization-stride default (round-3: the QR folds are
+    the measured dominant cost of the uneq tier) in the regime it
+    actually fires: dtau = 0.05 -> stride 10, stride*dtau = 0.5.  The
+    tau-resolved Gt0/G0t must stay under 1e-10 vs 60-digit gold at
+    sampled mid-stride taus."""
+    from mpmath import mp
+    from dqmc_tpu import hsfield
+    from dqmc_tpu.ops import tf32
+    from dqmc_tpu.engine.parity import measurement_uneq_fn
+    from dqmc_tpu.engine.uneqtime import TauGreens
+
+    lat = square_lattice(4, 4)
+    nt, n_stab, beta = 80, 5, 4.0            # dtau = 0.05, as headline
+    ns = lat.n_sites
+    m64 = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=beta,
+                                  nt=nt, dtype=jnp.float64)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    rng = np.random.default_rng(5)
+    fields = jnp.asarray(rng.integers(0, 4, (nt, ns)), jnp.int32)
+
+    class _S:
+        pass
+
+    s = _S()
+    s.fields = fields[None]
+    raw = lambda Gtt, Gt0, G0t, G00: TauGreens(Gtt, Gt0, G0t)
+    ys, err = measurement_uneq_fn(m64, cfg, tf32, raw,
+                                  use_scan=False)(s)
+    assert float(err.max()) < 1e-10, float(err.max())
+
+    g = float(np.asarray(m64.g, np.float64))
+    expv = np.exp(g * np.asarray(hsfield.ETA, np.float64))
+    expK = np.asarray(m64.expK, np.float64)
+    f_np = np.asarray(fields)
+    taus = [3, 17, 45, 77]                   # all mid-stride
+    with mp.workdps(60):
+        eK = mp.matrix([[mp.mpf(expK[i, j]) for j in range(ns)]
+                        for i in range(ns)])
+        Bs = []
+        for l in range(nt):
+            ev = mp.diag([mp.mpf(expv[f_np[l, i]]) for i in range(ns)])
+            Bs.append(ev * eK)
+        for tau in taus:
+            P1 = mp.eye(ns)
+            for l in range(tau):
+                P1 = Bs[l] * P1
+            P2 = mp.eye(ns)
+            for l in range(tau, nt):
+                P2 = Bs[l] * P2
+            Gt0_m = mp.inverse(mp.eye(ns) + P1 * P2) * P1
+            G0t_m = -mp.inverse(mp.eye(ns) + P2 * P1) * P2
+            for got, M, name in ((ys.Gt0, Gt0_m, "Gt0"),
+                                 (ys.G0t, G0t_m, "G0t")):
+                want = np.array([[float(M[i, j]) for j in range(ns)]
+                                 for i in range(ns)])
+                e = np.abs(np.asarray(got)[0, tau, 0] - want).max()
+                assert e < 1e-10, f"{name}(tau={tau}): {e:.3e}"
+
+
 def test_repulsive_measurement_greens_matches_f64_engine():
     """The measurement-tier rebuild for the 2-flavor repulsive model:
     both flavors (opposite couplings, models/repulsive_hubbard.expV_diag)
