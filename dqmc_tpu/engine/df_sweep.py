@@ -332,9 +332,15 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
                     raise NotImplementedError(
                         "pallas site-update kernel: single-flavor "
                         "det_power=2 or two-flavor det_power=1 models only")
-                from dqmc_tpu.ops.kernels import pallas_site_update
-                G, fields_l, acc_l = pallas_site_update(
-                    model32, k_slice, G, fields_l)
+                if cfg.submatrix_rank > 0:
+                    from dqmc_tpu.ops.kernels import \
+                        pallas_site_update_submatrix
+                    G, fields_l, acc_l = pallas_site_update_submatrix(
+                        cfg.submatrix_rank)(model32, k_slice, G, fields_l)
+                else:
+                    from dqmc_tpu.ops.kernels import pallas_site_update
+                    G, fields_l, acc_l = pallas_site_update(
+                        model32, k_slice, G, fields_l)
             elif cfg.delay_rank > 0:
                 G, fields_l, acc_l, sgn_l = local_update_slice_delayed(
                     model32, k_slice, G, fields_l, cfg.delay_rank)
