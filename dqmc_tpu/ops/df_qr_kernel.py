@@ -385,9 +385,10 @@ def df_qr_hybrid(A: DF, *, loop: bool | None = None):
     contribute exact zeros through the digit-plane matmul, see
     ops/df32._digit_planes' zero guard) but the traced graph and the
     Mosaic/XLA compile shrink ~(n/32)x, attacking the df32 engine's
-    cold-compile cost.  Default: the DQMC_DF_QR_LOOP env var (truthy
-    values: "1", "on", "true"), else the unrolled path
-    (hardware-validated).
+    cold-compile cost.  Default: rolled, ON (hardware-validated
+    bit-identical and faster both to compile and to run — see the
+    probe numbers at the default below); DQMC_DF_QR_LOOP=0 restores
+    the unrolled path.
 
     NOTE the env var is read at TRACE time and baked into any jitted
     graph: flipping it after a function has compiled has no effect on
@@ -399,8 +400,14 @@ def df_qr_hybrid(A: DF, *, loop: bool | None = None):
         from dqmc_tpu.ops.df_qr import df_qr
         return df_qr(A)
     if loop is None:
+        # DEFAULT ON since the on-chip probe (tools/df_compile_probe.py,
+        # round-3): bit-identical to the unrolled path at the headline
+        # shape, 2.3x faster cold compile (469 -> 204 s) AND +6.6%
+        # steady throughput (19.20 -> 20.46 df32 sweeps/s).  Opt out
+        # with DQMC_DF_QR_LOOP=0 (trace-time capture — see NOTE above).
         import os
-        loop = os.environ.get("DQMC_DF_QR_LOOP", "") in ("1", "on", "true")
+        loop = os.environ.get("DQMC_DF_QR_LOOP", "1") not in (
+            "0", "off", "false")
     if loop:
         return _df_qr_hybrid_loop(A)
     block = _BLOCK
