@@ -312,15 +312,18 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             dtau = float(model64.beta) / nt
             n_stab = max(1, min(n_stab, int(0.2 / dtau)))
         else:
-            # tf32: 2x the engine stride — halves the multiword QR
-            # folds, the measured dominant cost of this sweep (see
-            # prop_nm note above).  Capped at stride*dtau <= 1.0, the
-            # point where tf32 is measured to keep <1e-10 (module
-            # docstring table); the headline shape (dtau = 0.05) sits
-            # at 0.5 with that margin, and the equal-time tier ships
-            # the same 2x default (measurement_greens_fn below).
-            dtau = float(model64.beta) / nt
-            n_stab = max(1, min(2 * cfg.n_stab, int(1.0 / dtau)))
+            # tf32: the ENGINE stride.  A 2x default was tried
+            # (round-3, halves the dominant QR-fold cost) and REVERTED:
+            # on chip at the 16x16 headline it self-checked 1.08e-1
+            # (artifacts/r3c4) while the same stride passes <1e-10 on
+            # CPU — signature of the f32 CGS2-seeded iterative
+            # refinement diverging once stride-10 middle-matrix
+            # conditioning meets the CGS2 kernel's larger seed error
+            # (CPU seeds from Householder; the equal-time tier's 2x
+            # stride was chip-validated but the triplet adds the
+            # R^T/M^T solve path).  Re-attempt only with a chip-
+            # validated stronger f32 seed or per-block cond guards.
+            n_stab = cfg.n_stab
     n_stab = _divisor_stride(nt, n_stab)
     n_stack = nt // n_stab
     if prop_nm is None:

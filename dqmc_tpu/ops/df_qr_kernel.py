@@ -400,14 +400,18 @@ def df_qr_hybrid(A: DF, *, loop: bool | None = None):
         from dqmc_tpu.ops.df_qr import df_qr
         return df_qr(A)
     if loop is None:
-        # DEFAULT ON since the on-chip probe (tools/df_compile_probe.py,
-        # round-3): bit-identical to the unrolled path at the headline
-        # shape, 2.3x faster cold compile (469 -> 204 s) AND +6.6%
-        # steady throughput (19.20 -> 20.46 df32 sweeps/s).  Opt out
-        # with DQMC_DF_QR_LOOP=0 (trace-time capture — see NOTE above).
+        # OPT-IN.  The on-chip probe (tools/df_compile_probe.py) showed
+        # the rolled path bit-identical to unrolled on the df32 ENGINE
+        # graph with 2.3x faster cold compile and +6.6% throughput —
+        # but the one campaign that ran with it defaulted ON, the df32
+        # MEASUREMENT tier's self-check exploded 1.35e-5 -> 4.9e+5
+        # (artifacts/r3c4), and the tier lowers the same kernel under a
+        # different vmap structure than the probe validated.  Guilt
+        # unproven (a stride change landed in the same campaign) but
+        # the blast radius is every df fold: default stays off until an
+        # isolated on-chip A/B clears it.  DQMC_DF_QR_LOOP=1 enables.
         import os
-        loop = os.environ.get("DQMC_DF_QR_LOOP", "1") not in (
-            "0", "off", "false")
+        loop = os.environ.get("DQMC_DF_QR_LOOP", "") in ("1", "on", "true")
     if loop:
         return _df_qr_hybrid_loop(A)
     block = _BLOCK

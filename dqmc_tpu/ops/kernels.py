@@ -684,9 +684,15 @@ def _batched_submatrix_kernel(k_sub, scal_ref, ga_ref, order_ref, pall_ref,
                           * jnp.ones((1, k_sub, 1), dtype), W)
             W = jnp.where((lane_kk == t)[None], col_t[:, :, None]
                           * jnp.ones((1, 1, k_sub), dtype), W)
+            # two single-axis broadcasts: a (WB,1,1) * (1,k,k) product
+            # needs a both-sublanes-and-lanes vector.broadcast, which
+            # Mosaic rejects at small walker batches (hit at WB=1,
+            # stretch W=1 — artifacts/r3c4); sublanes then lanes lowers
+            # everywhere
+            diag_t = (inv_s[:, :, None] * jnp.ones((1, k_sub, 1), dtype)
+                      ) * jnp.ones((1, 1, k_sub), dtype)
             W = jnp.where(((sub_kk == t) & (lane_kk == t))[None],
-                          inv_s[:, :, None]
-                          * jnp.ones((1, k_sub, k_sub), dtype), W)
+                          diag_t, W)
             winv_ref[...] = W
             mask = jnp.where((lane_k == t) & accept,
                              jnp.asarray(1.0, dtype), mask)

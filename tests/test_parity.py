@@ -238,11 +238,12 @@ def test_tf_uneq_and_currxx_vs_gold():
 
 
 def test_tf_uneq_2x_stride_fine_dtau_vs_gold():
-    """The 2x-stabilization-stride default (round-3: the QR folds are
-    the measured dominant cost of the uneq tier) in the regime it
-    actually fires: dtau = 0.05 -> stride 10, stride*dtau = 0.5.  The
-    tau-resolved Gt0/G0t must stay under 1e-10 vs 60-digit gold at
-    sampled mid-stride taus."""
+    """Wide-stride structural pin: explicit stride 10 at dtau = 0.05
+    (stride*dtau = 0.5), tau-resolved Gt0/G0t under 1e-10 vs 60-digit
+    gold at mid-stride taus.  NOTE this certifies the CPU path
+    (Householder-seeded refinement); the 2x stride is NOT the shipped
+    default — on chip the CGS2-seeded triplet refinement diverged at
+    this stride (see measurement_uneq_fn's stride note)."""
     from mpmath import mp
     from dqmc_tpu import hsfield
     from dqmc_tpu.ops import tf32
@@ -265,7 +266,7 @@ def test_tf_uneq_2x_stride_fine_dtau_vs_gold():
     s.fields = fields[None]
     raw = lambda Gtt, Gt0, G0t, G00: TauGreens(Gtt, Gt0, G0t)
     ys, err = measurement_uneq_fn(m64, cfg, tf32, raw,
-                                  use_scan=False)(s)
+                                  use_scan=False, n_stab=10)(s)
     assert float(err.max()) < 1e-10, float(err.max())
 
     g = float(np.asarray(m64.g, np.float64))
