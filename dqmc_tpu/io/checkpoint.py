@@ -22,13 +22,23 @@ from typing import Any, Dict, Tuple
 import jax
 import numpy as np
 
+# Bump whenever the state pytree's leaf structure changes (a loaded
+# checkpoint from another version would otherwise fail with a raw
+# KeyError/shape error instead of a diagnosis).  History:
+#   1  round <=3 implicit format (no version field; LDRdf without the
+#      exponent channel)
+#   2  LDRdf grew the exponent-split `e` leaf (d425809)
+FORMAT_VERSION = 2
+
 
 def save_checkpoint(path: str | os.PathLike, states, meta: Dict[str, Any]) -> None:
     """Persist a walker-state pytree and a JSON-able metadata dict."""
     leaves, treedef = jax.tree_util.tree_flatten(states)
     payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     payload["__meta__"] = np.frombuffer(
-        json.dumps({**meta, "treedef": str(treedef)}).encode(), dtype=np.uint8)
+        json.dumps({**meta, "format_version": FORMAT_VERSION,
+                    "n_leaves": len(leaves),
+                    "treedef": str(treedef)}).encode(), dtype=np.uint8)
     d = os.path.dirname(str(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
@@ -51,6 +61,19 @@ def load_checkpoint(path: str | os.PathLike, template) -> Tuple[Any, Dict[str, A
     with np.load(path) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         leaves, treedef = jax.tree_util.tree_flatten(template)
+        ver = meta.get("format_version", 1)
+        if ver != FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format version {ver} != current "
+                f"{FORMAT_VERSION} (e.g. a pre-exponent-channel LDRdf "
+                f"checkpoint cannot be loaded by this version) — restart "
+                f"the run or migrate the checkpoint")
+        n_saved = meta.get("n_leaves")
+        if n_saved is not None and n_saved != len(leaves):
+            raise ValueError(
+                f"checkpoint has {n_saved} state leaves but the current "
+                f"configuration expects {len(leaves)} — wrong checkpoint "
+                f"for this run?")
         loaded = []
         for i, leaf in enumerate(leaves):
             arr = data[f"leaf_{i}"]

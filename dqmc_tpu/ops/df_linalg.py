@@ -268,17 +268,26 @@ def _split_scales(d: DF, e: jax.Array, nm=df32):
       exactly as sum(log_m) + ln2 * sum(e_big) for the log-det.
 
     With the mantissa invariant hi in [1, 2), d 2^e >= 1 iff e >= 0,
-    so the split predicate is exact integer arithmetic."""
-    big = e >= 0
+    so the split predicate is exact integer arithmetic.
+
+    A structurally DEAD column (d = 0, e = 0 — the convention to_ldr /
+    mat_mul_ldr maintain for rank-deficient inputs) must NOT take the
+    big branch: 1/d would be inf/nan and log(0) = -inf would poison the
+    log-det.  It goes small with ds = 0, inv_dl = 1, log_m = 0 — the
+    same place the reference's split sends it (stablelinalg.cpp
+    inv_I_plus_ldr: d >= 1 fails for d = 0, so it lands in D_small)."""
+    big = (e >= 0) & (d.hi > 0)
     one = nm.df(jnp.ones_like(d.hi))
     # clamp the ldexp argument so the not-taken branch never makes infs
     ds = nm.where(big, one,
                   nm.cmap(lambda c: jnp.ldexp(c, jnp.minimum(e, 0)), d))
-    inv_m = nm.div(one, d)
+    d_safe = nm.where(big, d, one)          # keep 1/d finite off-branch
+    inv_m = nm.div(one, d_safe)
     inv_dl = nm.where(
         big, nm.cmap(lambda c: jnp.ldexp(c, -jnp.maximum(e, 0)), inv_m),
         one)
-    log_m = jnp.where(big, jnp.log(nm.to_f64(d)), 0.0)
+    log_m = jnp.where(big, jnp.log(jnp.where(big, nm.to_f64(d), 1.0)),
+                      0.0)
     e_big = jnp.where(big, e, 0)
     return inv_dl, ds, log_m, e_big
 
@@ -310,7 +319,17 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32,
     the SAME f32 factors (M^T x = y -> x = Q R^{-T} y, refined against
     the multiword M^T) — the role-swapped solve of the unequal-time
     triplet (inv_triplet_dag below / ops/linalg.inv_triplet_dag).
-    Returns (X, logabs, Xt) when given, (X, logabs) otherwise."""
+    Returns (X, logabs, Xt) when given, (X, logabs) otherwise.
+
+    SAFEGUARD: IR converges only while eps32 * cond(M) < 1.  Beyond
+    that (measured on chip with near-random, unthermalized field
+    configurations — round-4 probes) each step AMPLIFIES the error and
+    3-8 steps turn a ~cond*eps seed error into 1e+5..1e+8 garbage.  The
+    loop therefore tracks max|Y - M X| per system and returns the
+    iterate with the smallest residual — bit-identical to plain IR
+    whenever IR is monotone (the healthy regime), bounded at seed grade
+    when it is not, so the tier's self-check stays honest instead of
+    exploding.  Costs one extra multiword residual per solve."""
     if n_ir is None:
         n_ir = 3 if nm is df32 else 8
     Q, R = _f32_qr(Mdf.hi)
@@ -320,10 +339,25 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32,
         return jax.lax.linalg.triangular_solve(
             R, jnp.matmul(QT32, rhs32), left_side=True, lower=False)
 
-    X = nm.df(f32_solve(Y.hi))
-    for _ in range(n_ir):
-        r = nm.sub(Y, nm.matmul(Mdf, X))
-        X = nm.add(X, nm.df(f32_solve(r.hi)))
+    def refine(M, Ynm, solve):
+        """Best-residual-iterate IR (see SAFEGUARD note)."""
+        X = nm.df(solve(Ynm.hi))
+        best_X, best_n = X, None
+        for k in range(n_ir + 1):
+            r = nm.sub(Ynm, nm.matmul(M, X))
+            rn = jnp.max(jnp.abs(r.hi), axis=(-2, -1), keepdims=True)
+            if best_n is None:
+                best_X, best_n = X, rn
+            else:
+                better = rn < best_n
+                best_X = nm.cmap(
+                    lambda c, b: jnp.where(better, c, b), X, best_X)
+                best_n = jnp.minimum(rn, best_n)
+            if k < n_ir:
+                X = nm.add(X, nm.df(solve(r.hi)))
+        return best_X
+
+    X = refine(Mdf, Y, f32_solve)
 
     Xt = None
     if Yt is not None:
@@ -335,11 +369,7 @@ def _solve_refined(Mdf: DF, Y: DF, n_ir: int | None = None, nm=df32,
             return jnp.matmul(Q, jax.lax.linalg.triangular_solve(
                 RT, rhs32, left_side=True, lower=True))
 
-        Mt = transpose(Mdf)
-        Xt = nm.df(f32_solve_t(Yt.hi))
-        for _ in range(n_ir):
-            rt = nm.sub(Yt, nm.matmul(Mt, Xt))
-            Xt = nm.add(Xt, nm.df(f32_solve_t(rt.hi)))
+        Xt = refine(transpose(Mdf), Yt, f32_solve_t)
 
     # log|det M| = log|det R'| - log|det Q| with R' = Q^T M refined in
     # multiword (one matmul; the f32 diag(R) alone carries only ~2^-23).

@@ -117,3 +117,33 @@ def test_interrupted_run_resumes_identically(tmp_path):
     assert len(resumed) == 4
     for k, v in full.items():
         np.testing.assert_allclose(resumed[k], v, rtol=1e-12, err_msg=k)
+
+
+def test_format_version_mismatch_rejected(tmp_path):
+    """A checkpoint from another format version (e.g. pre-exponent-
+    channel LDRdf) fails with a diagnosis, not a raw KeyError."""
+    import json
+
+    import pytest
+
+    from dqmc_tpu.io import checkpoint as ck
+
+    state = {"a": np.arange(3.0)}
+    path = tmp_path / "old.npz"
+    ck.save_checkpoint(path, state, {"note": "x"})
+    # forge an older version stamp
+    with np.load(path) as data:
+        payload = {k: data[k] for k in data.files}
+    meta = json.loads(bytes(payload["__meta__"]).decode())
+    meta["format_version"] = 1
+    payload["__meta__"] = np.frombuffer(json.dumps(meta).encode(),
+                                        dtype=np.uint8)
+    np.savez(path, **payload)
+    with pytest.raises(ValueError, match="format version"):
+        ck.load_checkpoint(path, state)
+
+    # and a leaf-count mismatch at the same version is diagnosed too
+    ck.save_checkpoint(path, state, {})
+    with pytest.raises(ValueError, match="leaves"):
+        ck.load_checkpoint(path, {"a": np.arange(3.0),
+                                  "b": np.arange(2.0)})
