@@ -62,9 +62,21 @@ def _timed_repeats(chunk, states, inner, n_walkers, reps, n_repeats,
     import statistics
 
     import jax
+    import jax.numpy as jnp
+
+    def sync(s):
+        # TRUE host readback.  The axon tunnel's block_until_ready can
+        # stop blocking entirely (NOTES.md round-3: a 137-GFLOP matmul
+        # "returns" in 27 us) — in that state calibration measured a
+        # ~13 s chunk at ~30 ms and enqueued ~4 days of work (round-4
+        # tf32 run, artifacts/r4).  A device_get of a scalar reduction
+        # cannot lie: the value does not exist until the queue drains.
+        return float(jax.device_get(jnp.sum(
+            jnp.abs(get_arr(s).astype(jnp.float32)))))
+
     t0 = time.perf_counter()
     states = chunk(states)
-    jax.block_until_ready(get_arr(states))
+    sync(states)
     t_chunk = time.perf_counter() - t0
     if reps <= 0:
         reps = max(1, int(min_window / t_chunk + 0.999))
@@ -74,7 +86,7 @@ def _timed_repeats(chunk, states, inner, n_walkers, reps, n_repeats,
         t0 = time.perf_counter()
         for _ in range(reps):
             states = chunk(states)
-        jax.block_until_ready(get_arr(states))
+        sync(states)
         dt = time.perf_counter() - t0
         window += dt
         rates.append(n_walkers * inner * reps / dt)
@@ -189,9 +201,23 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
             "window_s": window, "repeats": n_repeats}
 
 
+# Self-check bound each measurement tier must meet for its bench row to
+# publish ok:true (round-3 verdict item 3: a broken tier published
+# ok:true with a 4.9e+5 self-check).  tf32's contract is <1e-10; df32's
+# ~1e-8, gated at the reference's own 1e-6 warning level (dqmc.cpp:390);
+# the engine tier's f32 envelope is O(G)~1e2 — sanity-bounded at 1e4.
+MEASURED_OK_GATE = {"tf32": 1e-10, "df32": 1e-6, "engine": 1e4}
+
+
+def measured_ok(measure_precision: str, err_uneq_max: float) -> bool:
+    """True iff the measured-mode self-check meets the tier's grade."""
+    return bool(err_uneq_max < MEASURED_OK_GATE[measure_precision])
+
+
 def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
                         measure_prec: str = "engine", n_repeats: int = 3,
-                        min_window: float = 4.0, uneq_prec: bool = True):
+                        min_window: float = 4.0, uneq_prec: bool = True,
+                        n_therm: int = 50):
     """Full measured-iteration throughput: one equal-time sweep pair + the
     unequal-time triplet sweep with the fused per-tau measurement reduction
     + the equal-time measurement — the reference's per-sweep unit during the
@@ -199,7 +225,22 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
 
     measure_prec='tf32': the equal-time measurement G is rebuilt from the
     fields at triple-float32 grade (<1e-10 vs exact — the north-star
-    parity tier, BASELINE.md) inside the same fused iteration."""
+    parity tier, BASELINE.md) inside the same fused iteration.
+
+    ``n_therm`` sweep pairs thermalize the fields BEFORE the measured
+    window, and the measurement accumulator is re-zeroed after the
+    compile/warm-up chunk, so err_uneq_max is the tier's STEADY-STATE
+    self-check.  This matters: the multiword tiers' f32-seeded iterative
+    refinement requires the per-block conditioning of EQUILIBRATED
+    configurations — on the near-random fields of an unthermalized
+    chain it can diverge by orders (round-4 probes: df32 reads 6.9e-9
+    at L=8 thermalized vs 2.1e+5 on random fields, tf32 2.5e+8 on
+    random).  The reference likewise measures only after thermalization
+    (main.cpp:147-156; examples use 2000 warm-up sweeps).  Round-3's
+    'df32 tier broken / tf32 2x-stride broken' findings were THIS
+    artifact: err_uneq_max then included the first iterations from
+    near-random init fields, and the conditioning lottery on those
+    flipped with any graph change (stride, shape, walker count)."""
     import tempfile
 
     import jax
@@ -279,6 +320,22 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
             log(f"measurement tier: {measure_prec} tau-resolved "
                 f"Gt0/G0t/Gtt rebuild")
 
+    # thermalize before measuring (see docstring): same jitted sweep,
+    # scanned in chunks of 10 pairs
+    if n_therm > 0:
+        @jax.jit
+        def therm_chunk(states):
+            def body(s, _):
+                return sweep(s), None
+            states, _ = jax.lax.scan(body, states, None, length=10)
+            return states
+        t0 = time.perf_counter()
+        for _ in range(max(1, n_therm // 10)):
+            states = therm_chunk(states)
+        jax.block_until_ready(states.G)
+        log(f"thermalization ({n_therm} sweep pairs incl. compile): "
+            f"{time.perf_counter() - t0:.1f}s")
+
     # the production measured unit (run.py bin loop): sweep pair + uneq
     # sweep + measurements + accumulator adds, all inside ONE jitted scan
     iter_fn, zero_acc = manager.make_measured_iter(sweep, uneq_step,
@@ -299,6 +356,9 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
     jax.block_until_ready(states.G)
     log(f"measured-chunk compile+first: {time.perf_counter() - t0:.1f}s")
     states = jax.jit(jax.vmap(reset_error_stats))(states)
+    # re-zero so err_uneq_max (and the accumulators) cover only the
+    # steady-state timed window
+    acc_m = zero_acc(states)
 
     carry = {"acc_m": acc_m}
 
@@ -309,8 +369,10 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
     rate, spread, reps_used, window, states = _timed_repeats(
         chunk2, states, inner, n_walkers, reps, n_repeats, min_window,
         lambda s: s.G)
-    n_iters = inner * (reps_used * n_repeats + 2)
-    acc = float(states.acc_sum.mean()) / (2 * n_iters)
+    n_pairs = inner * (reps_used * n_repeats + 2)
+    if n_therm > 0:
+        n_pairs += 10 * max(1, n_therm // 10)   # thermalization pairs
+    acc = float(states.acc_sum.mean()) / (2 * n_pairs)
     err = float(carry["acc_m"][("meta", "err_uneq_max")])
     log(f"TPU {dtype_name}: {rate:.2f} measured sweeps/s/chip "
         f"(median of {n_repeats} repeats)")
@@ -576,7 +638,7 @@ def main():
             "spread": round(r["spread"], 3),
             "repeats": r["repeats"],
             "window_s": round(r["window_s"], 2),
-            "ok": True,
+            "ok": measured_ok(mp, r["err"]),
             "unit": "measured sweeps/s/chip",
             # the bare-sweep baseline: measured iterations do strictly more
             # work per unit, so vs_baseline stays conservative
