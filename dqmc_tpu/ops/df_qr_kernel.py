@@ -385,10 +385,15 @@ def df_qr_hybrid(A: DF, *, loop: bool | None = None):
     contribute exact zeros through the digit-plane matmul, see
     ops/df32._digit_planes' zero guard) but the traced graph and the
     Mosaic/XLA compile shrink ~(n/32)x, attacking the df32 engine's
-    cold-compile cost.  Default: rolled, ON (hardware-validated
-    bit-identical and faster both to compile and to run — see the
-    probe numbers at the default below); DQMC_DF_QR_LOOP=0 restores
-    the unrolled path.
+    cold-compile cost.  Default: rolled, ON; DQMC_DF_QR_LOOP=0 restores
+    the unrolled path.  On-chip validation: bit-identical on the df32
+    ENGINE graph with 2.3x faster cold compile and +6.6% throughput
+    (tools/df_compile_probe.py, BENCHMARKS campaign 2-3), and
+    bit-identical self-check on the df32 MEASURED tier graph with
+    288 s vs 653 s chunk compile and +5.5% throughput
+    (artifacts/r3c5: measured_df32_rolled vs measured_df32_reverted —
+    the isolation A/B that exonerated this kernel from the campaign-4
+    tier regression, which was the stride recalibration instead).
 
     NOTE the env var is read at TRACE time and baked into any jitted
     graph: flipping it after a function has compiled has no effect on
@@ -400,18 +405,12 @@ def df_qr_hybrid(A: DF, *, loop: bool | None = None):
         from dqmc_tpu.ops.df_qr import df_qr
         return df_qr(A)
     if loop is None:
-        # OPT-IN.  The on-chip probe (tools/df_compile_probe.py) showed
-        # the rolled path bit-identical to unrolled on the df32 ENGINE
-        # graph with 2.3x faster cold compile and +6.6% throughput —
-        # but the one campaign that ran with it defaulted ON, the df32
-        # MEASUREMENT tier's self-check exploded 1.35e-5 -> 4.9e+5
-        # (artifacts/r3c4), and the tier lowers the same kernel under a
-        # different vmap structure than the probe validated.  Guilt
-        # unproven (a stride change landed in the same campaign) but
-        # the blast radius is every df fold: default stays off until an
-        # isolated on-chip A/B clears it.  DQMC_DF_QR_LOOP=1 enables.
+        # Default ON (see docstring for the two on-chip bit-identical
+        # A/Bs, engine graph + measured tier graph).  DQMC_DF_QR_LOOP=0
+        # opts out.
         import os
-        loop = os.environ.get("DQMC_DF_QR_LOOP", "") in ("1", "on", "true")
+        loop = os.environ.get("DQMC_DF_QR_LOOP", "1") not in (
+            "0", "off", "false")
     if loop:
         return _df_qr_hybrid_loop(A)
     block = _BLOCK

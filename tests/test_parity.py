@@ -363,3 +363,48 @@ def test_repulsive_measurement_uneq_matches_f64_engine():
         assert np.asarray(got).shape[2] == 2          # flavor axis
         d = np.abs(np.asarray(got)[0] - np.asarray(want)).max()
         assert d < 1e-6, f"{name}: {d:.3e}"
+
+
+def test_uneq_batched_matches_sequential():
+    """The round-4 block-batched formulation of measurement_uneq_fn
+    (one inv_triplet_dag over all boundaries + n_stab batched
+    propagation steps) is arithmetically IDENTICAL per element to the
+    round-3 sequential scan — pinned bit-exact on CPU eager (df32)."""
+    import os
+    from types import SimpleNamespace
+
+    from dqmc_tpu.engine.parity import measurement_uneq_fn
+    from dqmc_tpu.ops import df32
+
+    lat = square_lattice(4, 4)
+    nt, n_stab = 20, 5
+    m64 = AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1, beta=4.0,
+                                  nt=nt, dtype=jnp.float64)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    fields = jax.random.randint(jax.random.PRNGKey(3),
+                                (2, nt, lat.n_sites), 0, 4,
+                                dtype=jnp.int32)
+    states = SimpleNamespace(fields=fields)
+
+    def mfn(Gtt, Gt0, G0t, G00):
+        return {"a": jnp.mean(Gtt) + jnp.mean(G00),
+                "b": jnp.mean(Gt0 * G0t)}
+
+    res = {}
+    old = os.environ.get("DQMC_UNEQ_BATCHED")
+    try:
+        for flag in ("0", "1"):
+            os.environ["DQMC_UNEQ_BATCHED"] = flag
+            fn = measurement_uneq_fn(m64, cfg, df32, mfn, n_stab=n_stab,
+                                     use_scan=False, symmetric=True)
+            res[flag] = fn(states)
+    finally:
+        if old is None:
+            os.environ.pop("DQMC_UNEQ_BATCHED", None)
+        else:
+            os.environ["DQMC_UNEQ_BATCHED"] = old
+    (ys0, e0), (ys1, e1) = res["0"], res["1"]
+    for k in ys0:
+        np.testing.assert_array_equal(np.asarray(ys0[k]),
+                                      np.asarray(ys1[k]), err_msg=k)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
