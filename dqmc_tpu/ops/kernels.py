@@ -684,13 +684,18 @@ def _batched_submatrix_kernel(k_sub, scal_ref, ga_ref, order_ref, pall_ref,
                           * jnp.ones((1, k_sub, 1), dtype), W)
             W = jnp.where((lane_kk == t)[None], col_t[:, :, None]
                           * jnp.ones((1, 1, k_sub), dtype), W)
-            # two single-axis broadcasts: a (WB,1,1) * (1,k,k) product
-            # needs a both-sublanes-and-lanes vector.broadcast, which
-            # Mosaic rejects at small walker batches (hit at WB=1,
-            # stretch W=1 — artifacts/r3c4); sublanes then lanes lowers
-            # everywhere
-            diag_t = (inv_s[:, :, None] * jnp.ones((1, k_sub, 1), dtype)
-                      ) * jnp.ones((1, 1, k_sub), dtype)
+            # a (WB,1,1) -> (WB,k,k) expansion needs a both-sublanes-
+            # and-lanes vector.broadcast, which Mosaic rejects at small
+            # walker batches (WB=1, stretch W=1 — artifacts/r3c4).
+            # Staged *ones((1,k,1))*ones((1,1,k)) does NOT survive:
+            # Mosaic's canonicalizer folds the mul-by-one splats and
+            # recreates the illegal broadcast (artifacts/r3c5).  An
+            # outer product of the DATA-DEPENDENT one-hot (onehot_t)
+            # cannot be folded, and each operand broadcasts along a
+            # single axis; its value at (t,t) is exactly inv_s and 0
+            # elsewhere, so it doubles as the masked diagonal itself.
+            diag_t = ((inv_s * onehot_t)[:, :, None]
+                      * onehot_t[:, None, :])
             W = jnp.where(((sub_kk == t) & (lane_kk == t))[None],
                           diag_t, W)
             winv_ref[...] = W
