@@ -21,6 +21,7 @@ import os
 import subprocess
 import sys
 import time
+from functools import partial
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache.json")
@@ -170,7 +171,10 @@ def tpu_throughput(n_walkers: int, inner: int, reps: int,
     jax.block_until_ready(states.G)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
-    @jax.jit
+    # donate the walker state: the caller always rebinds, and at the df
+    # stretch scale (~1.1 GB stack/walker) the undonated input is a
+    # whole extra stack-set held across the call
+    @partial(jax.jit, donate_argnums=(0,))
     def chunk(states):
         def body(s, _):
             if df_mode:
@@ -323,7 +327,7 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
     # thermalize before measuring (see docstring): same jitted sweep,
     # scanned in chunks of 10 pairs
     if n_therm > 0:
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def therm_chunk(states):
             def body(s, _):
                 return sweep(s), None
@@ -342,7 +346,7 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
                                                    greens_fn=greens_fn)
     inner = 2
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def chunk(states, acc):
         def body(c, _):
             return iter_fn(*c), None
@@ -381,32 +385,40 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
             "window_s": window, "repeats": n_repeats}
 
 
-def pt_throughput(n_sweeps_total: int = 300):
+PT_SCALES = {
+    # name: (L, nt, betas)
+    "doped": (12, 120, [6.0, 5.8, 5.6, 5.4, 5.2, 5.0]),
+    "headline": (16, 160, [8.0, 7.6, 7.2, 6.8, 6.4, 6.0]),
+}
+
+
+def pt_throughput(n_sweeps_total: int = 300, scale: str = "doped"):
     """Production-scale parallel-tempering benchmark (VERDICT round-2
-    item 3): 12x12, nt=120, 6 replicas on a beta ladder, f32 chains with
-    f64 exchange actions, the FUSED measured loop between exchange
-    attempts (parallel/tempering.py).  Reports aggregate
-    replica-sweeps/s over the whole measurement phase (first-segment jit
-    compile included — sized so it amortizes) plus the exchange rate."""
+    item 3, steady-state discipline round-3 item 6): 6 replicas on a
+    beta ladder, f32 chains with f64 exchange actions, the FUSED
+    measured loop between exchange attempts (parallel/tempering.py).
+    200 thermalization sweep pairs (proper equilibration for the steady
+    error envelope); the steady replica-sweeps/s EXCLUDES the
+    first-segment jit compile (reported separately)."""
     import tempfile
 
     from dqmc_tpu.config import Parameters
     from dqmc_tpu.parallel.tempering import run_parallel_tempering
 
-    betas = [6.0, 5.8, 5.6, 5.4, 5.2, 5.0]
+    Lpt, ntpt, betas = PT_SCALES[scale]
     n_bins, n_sweeps = 3, max(1, n_sweeps_total // 3)
     text = f"""
 [Lattice]
-L1 = 12
-L2 = 12
+L1 = {Lpt}
+L2 = {Lpt}
 [hubbard]
 U = 4.0
 t = 1.0
 mu = 0.0
 [simulation]
 beta = {betas[0]}
-nt = 120
-n_therms = 20
+nt = {ntpt}
+n_therms = 200
 n_sweeps = {n_sweeps}
 n_bins = {n_bins}
 n_stab = 5
@@ -421,9 +433,11 @@ betas = {', '.join(str(b) for b in betas)}
     params = Parameters.from_string(text)
     out_dir = tempfile.mkdtemp(prefix="dqmc_pt_bench_")
     summary = run_parallel_tempering(params, out_dir=out_dir, verbose=False)
-    log(f"PT: {summary.sweeps_per_sec:.2f} replica-sweeps/s, exchange "
-        f"rate {summary.exchange_rate:.3f}, acc {summary.acc_rate:.3f}")
-    return summary
+    log(f"PT[{scale}]: {summary.sweeps_per_sec_steady:.2f} steady "
+        f"replica-sweeps/s ({summary.sweeps_per_sec:.2f} incl. compile), "
+        f"exchange rate {summary.exchange_rate:.3f}, "
+        f"acc {summary.acc_rate:.3f}")
+    return summary, (Lpt, ntpt, betas)
 
 
 _BASELINE_SCRIPT = r"""
@@ -551,6 +565,9 @@ def main():
                    help="benchmark production-scale parallel tempering "
                         "(12x12, nt=120, 6 replicas, fused measured loop)")
     p.add_argument("--pt-sweeps", type=int, default=300)
+    p.add_argument("--pt-scale", choices=sorted(PT_SCALES), default="doped",
+                   help="PT workload: doped (12x12 nt=120) or headline "
+                        "(16x16 nt=160)")
     p.add_argument("--measured", action="store_true",
                    help="benchmark the full measured iteration (sweep pair "
                         "+ unequal-time sweep + measurements) instead of "
@@ -601,21 +618,26 @@ def main():
     # less throughput).  Runs in a SUBPROCESS so its compile cache and
     # device context stay isolated from the primary measurement.
     if args.pt:
-        s = pt_throughput(args.pt_sweeps)
+        s, (Lpt, ntpt, betas) = pt_throughput(args.pt_sweeps,
+                                              scale=args.pt_scale)
         print(json.dumps({
-            "metric": "PT replica-sweeps/sec/chip (12x12 beta=5.0-6.0, "
-                      "nt=120, 6 replicas, f32 chains + f64 actions, "
+            "metric": f"PT replica-sweeps/sec/chip ({Lpt}x{Lpt} "
+                      f"beta={min(betas)}-{max(betas)}, nt={ntpt}, "
+                      f"{len(betas)} replicas, f32 chains + f64 actions, "
                       "fused measured loop)",
-            "value": round(s.sweeps_per_sec, 3),
-            "ok": True,
+            "value": round(s.sweeps_per_sec_steady, 3),
+            "value_incl_compile": round(s.sweeps_per_sec, 3),
+            "first_segment_s": round(s.first_segment_seconds, 1),
+            "ok": bool(s.max_precision_error < 1e4),
             "unit": "replica-sweeps/s/chip",
             "vs_baseline": None,
             "exchange_rate": round(s.exchange_rate, 4),
             "acc": round(s.acc_rate, 4),
             "err_max_steady": s.max_precision_error,
             "tier": "f32 sampling + f64 exchange actions",
-            "err_note": "window includes first-segment jit compile "
-                        "(amortized over the full measurement phase)",
+            "err_note": "steady-state window: first-segment compile "
+                        "excluded, 200 thermalization pairs before the "
+                        "error envelope",
         }))
         return
 

@@ -176,6 +176,19 @@ def slot_set_df(stack: LDRdf, i, F: LDRdf) -> LDRdf:
         stack, F)
 
 
+def _stack_inplace() -> bool:
+    """Round-4 stretch-memory experiment (DQMC_STACK_INPLACE=1): build
+    the sweep's new stack by writing each block's factor into a carried
+    preallocated buffer (write-only carry + dynamic_update_index — the
+    pattern XLA keeps in place) instead of emitting scan slots and
+    assembling with a concatenate.  Removes one stack-sized buffer from
+    the sweep's peak (the df stack is ~1.1 GB/walker at the 32x32
+    stretch, and the slots+assembled+input triple is the W>=2 OOM).
+    Read at TRACE time."""
+    import os
+    return os.environ.get("DQMC_STACK_INPLACE", "") in ("1", "on", "true")
+
+
 def identity_stack_df(nfl: int, n_slots: int, ns: int) -> LDRdf:
     eye = jnp.tile(jnp.eye(ns, dtype=jnp.float32), (nfl, n_slots, 1, 1))
     z_m = jnp.zeros_like(eye)
@@ -253,17 +266,34 @@ def rebuild_stack_df(aux: DFModelAux, cfg: EngineConfig, fields: jax.Array):
             Bbar = df32.matmul(Bbar, B)      # right-to-left: Bbar @ B_l
         return _mat_mul_ldr_df(_transpose_df(Bbar), T_prev)
 
-    def scan_step(t, i):
-        T_new = run_block(t, n_stab, i * n_stab)
-        return T_new, T_new
-
-    from dqmc_tpu.engine.sweep import stack_from_slots
     T0 = identity_slot_df(nfl, ns)
     tail = run_block(T0, rem, n_full * n_stab) if rem else None
-    T, slots = jax.lax.scan(scan_step, tail if rem else T0,
-                            jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
-    stack = stack_from_slots(slots, identity_slot_df(nfl, ns), tail,
-                             reverse=True)
+
+    if _stack_inplace():
+        n_blocks = n_full + (1 if rem else 0)
+        stack0 = identity_stack_df(nfl, n_blocks + 2, ns)
+        if rem:
+            stack0 = slot_set_df(stack0, n_full + 1, tail)
+
+        def scan_step_ip(carry, i):
+            t, stack = carry
+            T_new = run_block(t, n_stab, i * n_stab)
+            return (T_new, slot_set_df(stack, i + 1, T_new)), None
+
+        (T, stack), _ = jax.lax.scan(
+            scan_step_ip, (tail if rem else T0, stack0),
+            jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
+    else:
+        def scan_step(t, i):
+            T_new = run_block(t, n_stab, i * n_stab)
+            return T_new, T_new
+
+        from dqmc_tpu.engine.sweep import stack_from_slots
+        T, slots = jax.lax.scan(
+            scan_step, tail if rem else T0,
+            jnp.arange(n_full - 1, -1, -1, dtype=jnp.int32))
+        stack = stack_from_slots(slots, identity_slot_df(nfl, ns), tail,
+                                 reverse=True)
     G_df, log_det = _inv_pair_df(identity_slot_df(nfl, ns), T)
     return stack, G_df, log_det
 
@@ -384,31 +414,54 @@ def df_sweep(model32, aux: DFModelAux, cfg: EngineConfig,
         return (fields, G_df.hi, G_df, F_new, log_det_M, key, acc, sign,
                 emax, esum, ecnt)
 
-    def block_step(carry, i_stack):
-        carry = run_block(carry, i_stack, n_stab, i_stack * n_stab)
-        return carry, carry[3]
-
     def tail_block(carry):
         return run_block(carry, jnp.int32(n_full), rem, n_full * n_stab)
 
-    from dqmc_tpu.engine.sweep import stack_from_slots
     carry = (state.fields, state.G, state.G_df, identity_slot_df(nfl, ns),
              state.log_det_M, state.key, state.acc_sum, state.sign,
              state.err_max, state.err_sum, state.err_count)
     i_stacks = jnp.arange(n_full, dtype=jnp.int32)
     tail = None
-    if forward:
-        carry, slots = jax.lax.scan(block_step, carry, i_stacks)
-        if rem:
-            carry = tail_block(carry)
-            tail = carry[3]
+    if _stack_inplace():
+        n_blocks = n_full + (1 if rem else 0)
+        stack0 = identity_stack_df(nfl, n_blocks + 2, ns)
+
+        def block_step_ip(cs, i_stack):
+            carry, stack = cs
+            carry = run_block(carry, i_stack, n_stab, i_stack * n_stab)
+            return (carry, slot_set_df(stack, i_stack + 1, carry[3])), None
+
+        if forward:
+            (carry, stack), _ = jax.lax.scan(block_step_ip,
+                                             (carry, stack0), i_stacks)
+            if rem:
+                carry = tail_block(carry)
+                stack = slot_set_df(stack, n_full + 1, carry[3])
+        else:
+            if rem:
+                carry = tail_block(carry)
+                stack0 = slot_set_df(stack0, n_full + 1, carry[3])
+            (carry, stack), _ = jax.lax.scan(block_step_ip,
+                                             (carry, stack0),
+                                             i_stacks[::-1])
     else:
-        if rem:
-            carry = tail_block(carry)
-            tail = carry[3]
-        carry, slots = jax.lax.scan(block_step, carry, i_stacks[::-1])
-    stack = stack_from_slots(slots, identity_slot_df(nfl, ns), tail,
-                             reverse=not forward)
+        def block_step(carry, i_stack):
+            carry = run_block(carry, i_stack, n_stab, i_stack * n_stab)
+            return carry, carry[3]
+
+        from dqmc_tpu.engine.sweep import stack_from_slots
+        if forward:
+            carry, slots = jax.lax.scan(block_step, carry, i_stacks)
+            if rem:
+                carry = tail_block(carry)
+                tail = carry[3]
+        else:
+            if rem:
+                carry = tail_block(carry)
+                tail = carry[3]
+            carry, slots = jax.lax.scan(block_step, carry, i_stacks[::-1])
+        stack = stack_from_slots(slots, identity_slot_df(nfl, ns), tail,
+                                 reverse=not forward)
     (fields, G, G_df, _, log_det_M, key, acc, sign, emax, esum,
      ecnt) = carry
     return dataclasses.replace(

@@ -236,6 +236,12 @@ def _scan(f, carry, xs, use_scan: bool):
     return carry, stacked
 
 
+# boundaries per chunk in the block-batched triplet factorization (see
+# one_batched): 4 x W x nfl simultaneous 256^2 systems saturate the MXU
+# while the per-chunk working set stays ~n_stack/4 below the full batch
+_TRIPLET_CHUNK = 4
+
+
 def _divisor_stride(nt: int, want: int) -> int:
     """Largest stabilization stride <= want that divides nt (the
     block-structured scans need exact blocking)."""
@@ -513,10 +519,31 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         _, prefixes = _scan(pre_body, _identity_ldr(ns, nm, nfl), Bbars,
                             use_scan)
 
-        # ONE batched triplet factorization over boundaries 1..n_stack
-        # (leading dim n_stack; every df_linalg op is batch-generic)
-        Gtt_s, Gt0_s, G0t_s, _ = df_linalg.inv_triplet_dag(
-            prefixes, bounds, nm=nm)
+        # Batched triplet factorization over boundaries 1..n_stack
+        # (leading dim n_stack; every df_linalg op is batch-generic).
+        # Fully batched, the factorization intermediates (M, the 2n-wide
+        # refined RHS, Q/R) at leading n_stack overflow HBM at the
+        # headline (17.5G vs 15.75G measured, W=16 x n_stack=32 df32) —
+        # lax.map over chunks of _TRIPLET_CHUNK boundaries keeps the
+        # batch MXU-saturating (W*chunk*nfl systems) at 1/n_chunks the
+        # working set.  Eager/CPU path keeps the single full batch.
+        chunk = next(c for c in (_TRIPLET_CHUNK, 2, 1) if n_stack % c == 0)
+        if use_scan and chunk < n_stack:
+            def _trip(xs):
+                F1c, F2c = xs
+                return df_linalg.inv_triplet_dag(F1c, F2c, nm=nm)[:3]
+            reshape = lambda a: a.reshape(                  # noqa: E731
+                (n_stack // chunk, chunk) + a.shape[1:])
+            pre_c = jax.tree_util.tree_map(reshape, prefixes)
+            bnd_c = jax.tree_util.tree_map(reshape, bounds)
+            Gtt_s, Gt0_s, G0t_s = jax.lax.map(_trip, (pre_c, bnd_c))
+            unshape = lambda a: a.reshape(                  # noqa: E731
+                (n_stack,) + a.shape[2:])
+            Gtt_s, Gt0_s, G0t_s = jax.tree_util.tree_map(
+                unshape, (Gtt_s, Gt0_s, G0t_s))
+        else:
+            Gtt_s, Gt0_s, G0t_s, _ = df_linalg.inv_triplet_dag(
+                prefixes, bounds, nm=nm)
         stab = (conv(Gtt_s), conv(Gt0_s), conv(G0t_s))
 
         # propagation anchors: block k starts from the stabilized

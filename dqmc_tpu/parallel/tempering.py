@@ -412,6 +412,9 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     s_done = 0
     acc_bin = zero_acc(states)
     n_acc = 0
+    # wall time + sweeps of the first measured segment (the jit
+    # compile rides on it); the steady-state rate excludes both
+    t_first, n_first = 0.0, 0
     while s_done < total:
         if (s_done + 1) % exchange_step == 0:
             do_exchange()
@@ -419,7 +422,13 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         n_ex = exchange_step if r == 0 else exchange_step - r
         n_bin = n_sweeps - (s_done % n_sweeps)
         n = min(n_ex, n_bin, total - s_done)
-        states, acc_bin = seg_fn(states, acc_bin, n)
+        if s_done == 0:
+            tf0 = time.perf_counter()
+            states, acc_bin = seg_fn(states, acc_bin, n)
+            jax.block_until_ready(states.G)
+            t_first, n_first = time.perf_counter() - tf0, n
+        else:
+            states, acc_bin = seg_fn(states, acc_bin, n)
         s_done += n
         n_acc += n
         if s_done % n_sweeps == 0:
@@ -441,11 +450,16 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     err_mean = stats["err_sum"] / max(stats["err_count"], 1)
     exchange_rate = accepted / attempt if attempt else 0.0
     sweeps_per_sec = total * R / dt_meas if dt_meas > 0 else float("inf")
+    dt_steady = dt_meas - t_first
+    n_steady = total - n_first
+    steady = (n_steady * R / dt_steady if n_steady > 0 and dt_steady > 0
+              else float("nan"))
     log(f"Average acceptance rate = {acc_rate:.4f}")
     log(f"Max, Mean Precision Error (steady-state) = {err_max:.4e}, {err_mean:.4e}")
     log(f"Parallel tempering exchange rate = {exchange_rate:.4f}")
     log(f"Measurement phase: {dt_meas:.2f} s for {total} sweeps x {R} "
-        f"replicas = {sweeps_per_sec:.2f} replica-sweeps/s")
+        f"replicas = {sweeps_per_sec:.2f} replica-sweeps/s "
+        f"({steady:.2f} steady, first segment {t_first:.1f} s excluded)")
 
     return RunSummary(
         n_walkers=R, n_bins=n_bins, n_sweeps=n_sweeps,
@@ -453,4 +467,5 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         sweeps_per_sec=sweeps_per_sec, acc_rate=acc_rate,
         max_precision_error=err_max, mean_precision_error=err_mean,
         therm_max_precision_error=therm_err_max,
-        exchange_rate=exchange_rate)
+        exchange_rate=exchange_rate,
+        first_segment_seconds=t_first, sweeps_per_sec_steady=steady)

@@ -157,6 +157,10 @@ class RunSummary:
     therm_max_precision_error: float = float("nan")
     exchange_rate: Optional[float] = None
     n_stab: int = 0                # final (possibly auto-adapted) value
+    # wall time and sweep count of the FIRST measured segment (carries
+    # the jit compile); sweeps_per_sec_steady excludes both
+    first_segment_seconds: float = float("nan")
+    sweeps_per_sec_steady: float = float("nan")
 
 
 def _maybe_init_distributed(params: Parameters) -> None:

@@ -118,3 +118,40 @@ def test_df_sweep_deterministic(setup):
                       init_state_df(m32, aux, cfg, jax.random.PRNGKey(3)))
     assert bool(jnp.all(a.fields == b.fields))
     assert bool(jnp.all(a.G == b.G))
+
+
+@pytest.mark.parametrize("nt", [20, 23])          # exact and ragged-tail
+def test_stack_inplace_matches_concat(nt):
+    """DQMC_STACK_INPLACE=1 (carried-write stack, round-4 stretch-memory
+    path) must produce bit-identical state to the scan-slots+concat
+    assembly, through init and a forward+backward sweep pair."""
+    import os
+
+    lat = square_lattice(4, 4)
+    kw = dict(U=4.0, t=1.0, mu=-0.1, beta=4.0, nt=nt)
+    m32 = AttractiveHubbard.build(lat, dtype=jnp.float32, **kw)
+    aux = df_aux_build(lat, **kw)
+    cfg = EngineConfig(nt=nt, n_stab=5)
+    key = jax.random.PRNGKey(5)
+
+    def run():
+        s = init_state_df(m32, aux, cfg, key)
+        return df_sweep_pair(m32, aux, cfg, s)
+
+    old = os.environ.get("DQMC_STACK_INPLACE")
+    try:
+        os.environ["DQMC_STACK_INPLACE"] = "0"
+        jax.clear_caches()
+        a = run()
+        os.environ["DQMC_STACK_INPLACE"] = "1"
+        jax.clear_caches()
+        b = run()
+    finally:
+        jax.clear_caches()
+        if old is None:
+            os.environ.pop("DQMC_STACK_INPLACE", None)
+        else:
+            os.environ["DQMC_STACK_INPLACE"] = old
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
