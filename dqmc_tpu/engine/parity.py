@@ -390,15 +390,23 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         return pn.cmap(lambda *cs: jnp.stack(cs), *Bs)
 
     def _suffix_stack(blocks):
-        """Suffix LDR stack at block boundaries.  F2t[k] holds
-        B(beta, k*n_stab)^T; F2t[n_stack] = identity (the identity
-        padding that kills the reference's tau = beta special case,
-        dqmc.cpp:265-274).  Each block's nm-grade product is emitted
-        alongside and REUSED by the Bt0 prefix fold (recomputed there
-        before — ~n_stab nm matmuls per block saved).
+        """Suffix LDR factors at block boundaries.  The suffix at
+        boundary k holds B(beta, k*n_stab)^T; boundary n_stack is the
+        identity (the identity padding that kills the reference's
+        tau = beta special case, dqmc.cpp:265-274).  Each block's
+        nm-grade product is emitted alongside and REUSED by the Bt0
+        prefix fold (recomputed there before — ~n_stab nm matmuls per
+        block saved).
 
-        Returns (suffixes [k=0..n_stack-1], bounds [k=1..n_stack],
-        Bbars)."""
+        The scan emits its PRE-fold carry: at the iteration processing
+        block k that carry IS the suffix at boundary k+1, so the
+        boundary array ``bounds[k] = suffix[k+1]`` (k = 0..n_stack-1,
+        identity last) comes straight out of the scan and the final
+        carry is suffix[0] — no separate suffix stack and no
+        shift-concat copy (each is a full n_stack-of-LDR buffer,
+        ~1 GB at the 16x16 headline batch).
+
+        Returns (F2t_0 = suffix[0], bounds, Bbars)."""
         def block_product(fields_blk):
             Bbar = nm.df(eyeB32)
             for i in range(n_stab):
@@ -409,18 +417,14 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             Bbar = block_product(fields_blk)
             F2 = df_linalg.mat_mul_ldr(df_linalg.transpose(Bbar), F,
                                        nm=nm)
-            return F2, (F2, Bbar)
+            return F2, (F, Bbar)
 
         F_id = _identity_ldr(ns, nm, nfl)
-        _, (suffixes_rev, Bbars_rev) = _scan(suf_body, F_id, blocks[::-1],
-                                             use_scan)
-        suffixes = jax.tree_util.tree_map(lambda a: a[::-1], suffixes_rev)
+        F2t_0, (bounds_rev, Bbars_rev) = _scan(suf_body, F_id,
+                                               blocks[::-1], use_scan)
+        bounds = jax.tree_util.tree_map(lambda a: a[::-1], bounds_rev)
         Bbars = jax.tree_util.tree_map(lambda a: a[::-1], Bbars_rev)
-        # boundaries 1..n_stack consumed by the forward propagation
-        bounds = jax.tree_util.tree_map(
-            lambda a, i: jnp.concatenate([a[1:], i[None]]), suffixes,
-            F_id)
-        return suffixes, bounds, Bbars
+        return F2t_0, bounds, Bbars
 
     def one(fields):
         """Sequential formulation (round-3): one lax.scan over blocks
@@ -428,9 +432,8 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         stabilizations.  Kept as the DQMC_UNEQ_BATCHED=0 fallback and
         the eager/CPU truth path."""
         blocks = fields[:nt].reshape(n_stack, n_stab, -1)
-        suffixes, bounds, Bbars = _suffix_stack(blocks)
+        F2t_0, bounds, Bbars = _suffix_stack(blocks)
 
-        F2t_0 = jax.tree_util.tree_map(lambda a: a[0], suffixes)
         G00, _ = df_linalg.inv_one_plus_ldr_dag(
             df_linalg.to_ldr(nm.df(eyeB32), nm=nm), F2t_0, nm=nm)
         # G00 feeds every tau's disconnected terms — warp it once at
@@ -499,9 +502,8 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         propagated-vs-stabilized max over all blocks (dqmc.cpp:500-511
         analogue)."""
         blocks = fields[:nt].reshape(n_stack, n_stab, -1)
-        suffixes, bounds, Bbars = _suffix_stack(blocks)
+        F2t_0, bounds, Bbars = _suffix_stack(blocks)
 
-        F2t_0 = jax.tree_util.tree_map(lambda a: a[0], suffixes)
         G00, _ = df_linalg.inv_one_plus_ldr_dag(
             df_linalg.to_ldr(nm.df(eyeB32), nm=nm), F2t_0, nm=nm)
         G00_64 = nm.to_f64(warp_m(G00))
