@@ -308,6 +308,7 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
             lambda s: sweep_unequal_time(model, cfg, s, measure_fn=uneq_fn)))
 
     greens_fn = None
+    uneq_emits_greens = False
     if measure_prec != "engine":
         from dqmc_tpu.engine.parity import (measurement_greens_fn,
                                             measurement_uneq_fn)
@@ -315,14 +316,18 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
         nm = nm_tf32 if measure_prec == "tf32" else nm_df32
         model64 = AttractiveHubbard.build(lat, U=U, t=1.0, mu=MU, beta=BETA,
                                           nt=NT, dtype=jnp.float64)
-        greens_fn = measurement_greens_fn(model64, cfg, nm)
-        log(f"measurement tier: {measure_prec} equal-time G rebuild")
         if uneq_prec:
-            # tau-resolved tier: Gt0/G0t/Gtt rebuilt from the fields at
-            # the same multiword grade (run.py's production wiring)
-            uneq_step = measurement_uneq_fn(model64, cfg, nm, uneq_fn)
+            # tau-resolved tier; its G00 doubles as the equal-time
+            # measurement G — the separate greens_fn fold chain is gone
+            # (run.py's production wiring)
+            uneq_step = measurement_uneq_fn(model64, cfg, nm, uneq_fn,
+                                            emit_greens=True)
+            uneq_emits_greens = True
             log(f"measurement tier: {measure_prec} tau-resolved "
-                f"Gt0/G0t/Gtt rebuild")
+                f"Gt0/G0t/Gtt + equal-time G rebuild")
+        else:
+            greens_fn = measurement_greens_fn(model64, cfg, nm)
+            log(f"measurement tier: {measure_prec} equal-time G rebuild")
 
     # thermalize before measuring (see docstring): same jitted sweep,
     # scanned in chunks of 10 pairs
@@ -342,8 +347,9 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
 
     # the production measured unit (run.py bin loop): sweep pair + uneq
     # sweep + measurements + accumulator adds, all inside ONE jitted scan
-    iter_fn, zero_acc = manager.make_measured_iter(sweep, uneq_step,
-                                                   greens_fn=greens_fn)
+    iter_fn, zero_acc = manager.make_measured_iter(
+        sweep, uneq_step, greens_fn=greens_fn,
+        uneq_emits_greens=uneq_emits_greens)
     inner = 2
 
     @partial(jax.jit, donate_argnums=(0, 1))

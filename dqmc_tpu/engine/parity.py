@@ -255,7 +255,7 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
                         symmetric: bool = False,
                         n_stab: int | None = None,
                         use_scan: bool | None = None,
-                        prop_nm=None):
+                        prop_nm=None, emit_greens: bool = False):
     """Batched measurement-grade unequal-time sweep.
 
     Returns ``uneq_step(states) -> (ys, err)`` for
@@ -276,18 +276,23 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
     ``err`` is the propagated-vs-stabilized self-check at the tier's
     own grade (the check_error analogue, dqmc.cpp:500-511).
 
+    ``emit_greens=True``: return ``(ys, err, G)`` where G is the
+    measurement-basis equal-time Green's function (W, nfl, ns, ns) f64
+    — the tier's G00, already half-warped.  This replaces a separate
+    measurement_greens_fn in the fused measured iteration: the suffix
+    chain is ALREADY folded here, so the equal-time tier's whole
+    second fold chain (~n_stack sequential multiword QRs per walker)
+    disappears from the measured sweep.
+
     ``prop_nm`` — the arithmetic of the WITHIN-BLOCK propagation (the 5
     multiword matmuls per slice); default nm itself.  A df32-propagation
     "mixed" mode under nm=tf32 was MEASURED A DEAD END on chip
     (round-3): throughput 1.86 -> 1.76 measured sweeps/s — the sweep is
-    dominated by the ~2*n_stack sequential-column multiword XLA QR
-    folds, not the slice wraps — while the mid-block df drift reached
-    7.2e-10 at the 16x16 headline (stride*dtau = 0.25), eating the
-    <1e-10 target.  A 2x stabilization stride (halving the QR folds)
-    was also tried for this uneq triplet and REVERTED after a 1.08e-1
-    on-chip self-check (see the stride comment below); the fold-count
-    lever currently applies only to the equal-time tier
-    (measurement_greens_fn).
+    dominated by the sequential multiword QR folds, not the slice
+    wraps — while the mid-block df drift reached 7.2e-10 at the 16x16
+    headline, eating the <1e-10 target.  The shipped fold-count levers
+    are the round-4 stride defaults below plus the block-batched
+    triplet/propagation formulation (one_batched).
     """
     _check_model(model64)
     if use_scan is None:
@@ -480,6 +485,8 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         y0 = emit64(G00_p, G00_p, pn.sub(G00_p, pn.df(eyeB32)))
         ys = jax.tree_util.tree_map(
             lambda f, r: jnp.concatenate([f[None], r], axis=0), y0, ys)
+        if emit_greens:
+            return ys, emax, G00_64
         return ys, emax
 
     def one_batched(fields):
@@ -592,6 +599,8 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             lambda a: a.reshape((nt,) + a.shape[2:]), per_block)
         ys = jax.tree_util.tree_map(
             lambda f, r: jnp.concatenate([f[None], r], axis=0), y0, ys)
+        if emit_greens:
+            return ys, err, G00_64
         return ys, err
 
     import os

@@ -187,7 +187,8 @@ class MeasurementManager:
     # ------------------------------------------------------------------
 
     def make_measured_iter(self, sweep_fn, uneq_step=None, *, warp_fn=None,
-                           signed: bool = False, greens_fn=None):
+                           signed: bool = False, greens_fn=None,
+                           uneq_emits_greens: bool = False):
         """Build the pure measured-iteration function.
 
         ``greens_fn(states) -> (W, nfl, ns, ns)``, when given, replaces
@@ -196,6 +197,12 @@ class MeasurementManager:
         rebuilds G from the fields at tf32 grade, <1e-10).  It must
         return the FINAL measurement-basis G (apply any symmetric-Trotter
         half-warp itself); ``warp_fn`` is ignored alongside it.
+
+        ``uneq_emits_greens=True``: ``uneq_step`` returns
+        ``(ys, err, G)`` (engine.parity.measurement_uneq_fn with
+        emit_greens=True) and that G is the equal-time measurement
+        input — the tier's suffix chain serves both roles, dropping the
+        separate greens_fn fold chain from the fused iteration.
 
         Returns ``(iter_fn, zero_acc)``:
 
@@ -220,15 +227,21 @@ class MeasurementManager:
 
         def increments(states):
             out = {}
+            G_uneq = None
             if uneq_step is not None and self._uneq_fns:
-                ys, err_u = uneq_step(states)
+                if uneq_emits_greens:
+                    ys, err_u, G_uneq = uneq_step(states)
+                else:
+                    ys, err_u = uneq_step(states)
                 if signed:
                     s = states.sign.reshape((-1,) + (1,) * 4)
                     ys = {k: v * s for k, v in ys.items()}
                 for name, v in ys.items():
                     out[("uneq", name)] = v
                 out[("meta", "err_uneq_max")] = jnp.max(err_u)
-            if greens_fn is not None:
+            if G_uneq is not None:
+                G = G_uneq
+            elif greens_fn is not None:
                 G = greens_fn(states)
             else:
                 G = warp_fn(states.G) if warp_fn is not None else states.G

@@ -480,28 +480,34 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         every stabilization schedule depend on it)."""
         greens_fn = None
         uneq_step = None
+        uneq_emits_greens = False
         if measure_prec != "engine":
             from dqmc_tpu.engine.parity import (measurement_greens_fn,
                                                 measurement_uneq_fn)
             from dqmc_tpu.ops import df32 as _nm_df32, tf32 as _nm_tf32
             nm_meas = _nm_tf32 if measure_prec == "tf32" else _nm_df32
             model64 = model_cls.from_params(params, lat, dtype=jnp.float64)
-            greens_fn = measurement_greens_fn(
-                model64, cfg, nm_meas, symmetric=symmetric,
-                n_stab=meas_stab if meas_stab > 0 else None)
-            log(f"Measurement tier: equal-time G rebuilt at {measure_prec} "
-                f"({'<1e-10' if measure_prec == 'tf32' else '~1e-8'} "
-                f"fixed-field accuracy)")
             if uneq and uneq_fn is not None:
                 # tau-resolved tier: the triplet rebuilt from the fields
-                # at the same multiword grade (stride default: engine
-                # schedule for tf32, 0.4/dtau cap for df32 — see
-                # engine.parity.measurement_uneq_fn)
+                # at the same multiword grade (stride defaults: see
+                # engine.parity.measurement_uneq_fn).  Its G00 doubles
+                # as the equal-time measurement G (emit_greens) — no
+                # separate fold chain.
                 uneq_step = measurement_uneq_fn(
                     model64, cfg, nm_meas, uneq_fn, symmetric=symmetric,
-                    n_stab=uneq_stab if uneq_stab > 0 else None)
-                log(f"Measurement tier: tau-resolved Gt0/G0t/Gtt rebuilt "
-                    f"at {measure_prec}")
+                    n_stab=uneq_stab if uneq_stab > 0 else None,
+                    emit_greens=True)
+                uneq_emits_greens = True
+                log(f"Measurement tier: tau-resolved Gt0/G0t/Gtt + "
+                    f"equal-time G rebuilt at {measure_prec}")
+            else:
+                greens_fn = measurement_greens_fn(
+                    model64, cfg, nm_meas, symmetric=symmetric,
+                    n_stab=meas_stab if meas_stab > 0 else None)
+                log(f"Measurement tier: equal-time G rebuilt at "
+                    f"{measure_prec} "
+                    f"({'<1e-10' if measure_prec == 'tf32' else '~1e-8'} "
+                    f"fixed-field accuracy)")
         elif uneq and uneq_fn is not None:
             if df_mode:
                 # tau-resolved reconstruction runs the f32 uneq sweep on
@@ -519,8 +525,10 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
 
         iter_fn, zero_acc = manager.make_measured_iter(
             step, uneq_step if (uneq and uneq_fn is not None) else None,
-            warp_fn=warp if (symmetric and greens_fn is None) else None,
-            signed=model.det_power == 1, greens_fn=greens_fn)
+            warp_fn=warp if (symmetric and greens_fn is None
+                             and not uneq_emits_greens) else None,
+            signed=model.det_power == 1, greens_fn=greens_fn,
+            uneq_emits_greens=uneq_emits_greens)
 
         @jax.jit
         def bin_fn(states, acc):

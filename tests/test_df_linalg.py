@@ -346,3 +346,87 @@ def test_solve_refined_safeguard_bounds_divergence(rng):
     # seed grade here is ~cond*eps32 ~ 1e2 relative at worst; plain IR
     # measured 1e5+ on this construction.  Bound well below divergence.
     assert rel < 1e3, f"safeguard failed to bound divergence: rel={rel:.3e}"
+
+
+def test_solve_refined_well_conditioned_converges(rng):
+    """Healthy regime: the safeguarded IR is the old IR (monotone
+    residuals pick the last iterate) — df-grade solve error."""
+    n = 48
+    A = rng.standard_normal((n, n))
+    u, s, vt = np.linalg.svd(A)
+    M64 = u @ np.diag(np.logspace(0, 4, n)) @ vt       # cond 1e4
+    Y64 = rng.standard_normal((n, n))
+    X, logabs = df_linalg._solve_refined(_df_from64(M64), _df_from64(Y64))
+    X_exact = np.linalg.solve(M64, Y64)
+    assert np.abs(_to64(X) - X_exact).max() < 1e-9
+    # logdet carries the f32-Q first-order bias correction; its floor
+    # scales with cond (~1e-4 at cond 1e4) — sanity-bound only
+    assert abs(float(logabs) - np.linalg.slogdet(M64)[1]) < 1e-3
+
+
+def test_solve_refined_safeguard_bounds_divergence(rng):
+    """eps32*cond > 1 regime (cond 1e9): plain IR amplifies the seed
+    error by (eps32*cond)^k — orders beyond the seed.  The safeguard
+    returns the best-residual iterate, so the solve error stays at seed
+    grade (~cond*eps32 relative) instead of exploding."""
+    n = 48
+    A = rng.standard_normal((n, n))
+    u, s, vt = np.linalg.svd(A)
+    M64 = u @ np.diag(np.logspace(0, 9, n)) @ vt       # cond 1e9
+    Y64 = rng.standard_normal((n, n))
+    X, _ = df_linalg._solve_refined(_df_from64(M64), _df_from64(Y64))
+    X_exact = np.linalg.solve(M64, Y64)
+    rel = np.abs(_to64(X) - X_exact).max() / np.abs(X_exact).max()
+    # seed grade here is ~cond*eps32 ~ 1e2 relative at worst; plain IR
+    # measured 1e5+ on this construction.  Bound well below divergence.
+    assert rel < 1e3, f"safeguard failed to bound divergence: rel={rel:.3e}"
+
+
+def _df_suffix_tree(Bs, n_stab):
+    """Suffix chain as a PAIRWISE TREE of ldr_mul_ldr combines (the
+    log-depth fold the associative-scan formulations use)."""
+    nt = len(Bs)
+    n = Bs[0].shape[0]
+    leaves = []
+    for i_blk in range(-(-nt // n_stab)):
+        blk = Bs[i_blk * n_stab:(i_blk + 1) * n_stab]
+        Bbar = np.eye(n)
+        for B in blk:
+            Bbar = B @ Bbar
+        leaves.append(df_linalg.to_ldr(_df_from64(Bbar.T)))
+    # suffix product in dag order: latest block first
+    leaves = leaves[::-1]
+    while len(leaves) > 1:
+        nxt = []
+        for i in range(0, len(leaves) - 1, 2):
+            nxt.append(df_linalg.ldr_mul_ldr(leaves[i], leaves[i + 1]))
+        if len(leaves) % 2:
+            nxt.append(leaves[-1])
+        leaves = nxt
+    return leaves[0]
+
+
+def test_ldr_mul_ldr_matches_sequential_fold(rng):
+    """Tree-fold (ldr_mul_ldr pairwise combines) of the beta=8 suffix
+    chain reaches the same df accuracy tier as the sequential
+    mat_mul_ldr fold: G from inv_one_plus_ldr_dag vs the f64 stabilized
+    oracle stays ~1e-8 for both."""
+    n, nt, beta, n_stab = 36, 40, 8.0, 5
+    Bs = _b_chain(rng, n, nt, beta)
+
+    F_seq = _df_suffix(Bs, n_stab)
+    F_tree = _df_suffix_tree(Bs, n_stab)
+    F64 = _stab64_suffix(Bs, n_stab)
+
+    eye = df_linalg.to_ldr(_df_from64(np.eye(n)))
+    I64 = linalg.to_ldr(jnp.asarray(np.eye(n)))
+    G64, _ = linalg.inv_one_plus_ldr_dag(I64, F64)
+    errs = {}
+    for name, F in (("seq", F_seq), ("tree", F_tree)):
+        G, _ = df_linalg.inv_one_plus_ldr_dag(eye, F)
+        errs[name] = np.abs(_to64(G) - np.asarray(G64)).max()
+    print("fold errors:", errs)
+    assert errs["seq"] < 5e-8
+    assert errs["tree"] < 1e-6, (
+        f"tree fold lost the tier: {errs['tree']:.3e} "
+        f"(seq {errs['seq']:.3e})")
