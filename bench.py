@@ -221,7 +221,7 @@ def measured_ok(measure_precision: str, err_uneq_max: float) -> bool:
 def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
                         measure_prec: str = "engine", n_repeats: int = 3,
                         min_window: float = 4.0, uneq_prec: bool = True,
-                        n_therm: int = 50):
+                        n_therm: int = 50, uneq_stab: int = 0):
     """Full measured-iteration throughput: one equal-time sweep pair + the
     unequal-time triplet sweep with the fused per-tau measurement reduction
     + the equal-time measurement — the reference's per-sweep unit during the
@@ -320,11 +320,13 @@ def measured_throughput(n_walkers: int, reps: int, dtype_name: str,
             # tau-resolved tier; its G00 doubles as the equal-time
             # measurement G — the separate greens_fn fold chain is gone
             # (run.py's production wiring)
-            uneq_step = measurement_uneq_fn(model64, cfg, nm, uneq_fn,
-                                            emit_greens=True)
+            uneq_step = measurement_uneq_fn(
+                model64, cfg, nm, uneq_fn, emit_greens=True,
+                n_stab=uneq_stab if uneq_stab > 0 else None)
             uneq_emits_greens = True
             log(f"measurement tier: {measure_prec} tau-resolved "
-                f"Gt0/G0t/Gtt + equal-time G rebuild")
+                f"Gt0/G0t/Gtt + equal-time G rebuild"
+                + (f" (stride override {uneq_stab})" if uneq_stab else ""))
         else:
             greens_fn = measurement_greens_fn(model64, cfg, nm)
             log(f"measurement tier: {measure_prec} equal-time G rebuild")
@@ -589,6 +591,10 @@ def main():
                    help="with --measured: rebuild the equal-time "
                         "measurement G from the fields at this grade "
                         "(tf32 = the <1e-10 north-star parity tier)")
+    p.add_argument("--uneq-stab", type=int, default=0,
+                   help="with --measured + a measurement tier: override "
+                        "the tau-tier stabilization stride (0 = tier "
+                        "default) — the stride A/B knob")
     args = p.parse_args()
 
     L, BETA, NT, NSTAB, U, MU, default_w, cb = CONFIGS[args.config]
@@ -651,7 +657,8 @@ def main():
         r = measured_throughput(walkers, args.reps, args.dtype,
                                 args.measure_precision,
                                 n_repeats=args.repeats,
-                                min_window=args.min_window)
+                                min_window=args.min_window,
+                                uneq_stab=args.uneq_stab)
         baseline = (float("nan") if args.skip_baseline
                     or args.config != "headline" else cpu_baseline(args.remeasure_baseline))
         have_base = baseline == baseline and baseline > 0

@@ -240,6 +240,10 @@ def _scan(f, carry, xs, use_scan: bool):
 # one_batched): 4 x W x nfl simultaneous 256^2 systems saturate the MXU
 # while the per-chunk working set stays ~n_stack/4 below the full batch
 _TRIPLET_CHUNK = 4
+# blocks per group in the batched propagation/emit phase (same memory
+# argument: full-batch carries at the tf32 headline are ~GBs each;
+# 8 x W x nfl matmuls per step still saturate the MXU)
+_BLOCK_GROUP = 8
 
 
 def _divisor_stride(nt: int, want: int) -> int:
@@ -329,21 +333,19 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             dtau = float(model64.beta) / nt
             n_stab = max(1, min(n_stab, int(0.4 / dtau)))
         else:
-            # tf32: 2x the engine stride — halves the dominant QR-fold
-            # cost; the tf floor has orders of headroom (CPU pins
-            # <1e-10 at stride*dtau = 0.5, tests/test_parity.py
-            # test_tf_uneq_2x_stride_fine_dtau_vs_gold).  Round-3 tried
-            # this and reverted on a 1.08e-1 on-chip self-check — the
-            # SAME contaminated-metric artifact as the df32 cap above
-            # (near-random init fields in the max), not a stride
-            # defect.  Re-landed in round 4 with the steady-state bench
-            # validating on chip.  The naive within-block propagation
-            # drift grows ~e^{4 dtau W stride}; stride*dtau = 1.0 is
-            # measured <1e-10, 2.0 is not (test_tf_uneq_and_currxx at
-            # dtau=0.2) — cap there, never below the engine stride.
-            dtau = float(model64.beta) / nt
-            n_stab = max(cfg.n_stab,
-                         min(2 * cfg.n_stab, int(1.0 / dtau)))
+            # tf32: the ENGINE stride.  A 2x default was attempted
+            # twice and measured unhealthy ON CHIP both times at the
+            # 16x16 headline: 1.08e-1 (round-3, pre-safeguard) and
+            # 7.8e-6 STEADY-STATE (round-4, thermalized bench,
+            # safeguarded IR bounding the divergence at seed grade —
+            # artifacts/r4/measured_tf32_batched.log) while CPU passes
+            # <1e-10 at the same stride*dtau (test_tf_uneq_2x_stride_
+            # fine_dtau_vs_gold).  The chip's CGS2-seeded triplet
+            # refinement does not survive stride-10 middle-matrix
+            # conditioning; until a stronger f32 seed lands, the uneq
+            # tier keeps the engine schedule (the reference's own,
+            # dqmc.cpp:481-512).
+            n_stab = cfg.n_stab
     n_stab = _divisor_stride(nt, n_stab)
     n_stack = nt // n_stab
     if prop_nm is None:
@@ -563,38 +565,63 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             lambda a0, rest: jnp.concatenate([a0[None], rest[:-1]]),
             t0, stab)
 
-        # n_stab batched propagation steps; emits collected per step.
-        # fields_t[i] = slice i of every block: (n_stack, ns)
-        fields_t = jnp.swapaxes(blocks, 0, 1)
-        Gtt, Gt0, G0t = anchors
-        # B_all_p stacks flavors LEADING ((nfl, n_stack, ns, ns)); the
-        # block-batched carry is (n_stack, nfl, ns, ns) — swap once
+        # B_all_p stacks flavors LEADING ((nfl, blk, ns, ns)); the
+        # block-batched carry is (blk, nfl, ns, ns) — swap once
         swap = lambda M: pn.cmap(                          # noqa: E731
             lambda c: jnp.swapaxes(c, 0, 1), M)
-        emits = []                       # i = 0..n_stab-2: propagated
-        for i in range(n_stab):
-            B = swap(B_all_p(fields_t[i]))   # (n_stack, nfl, ns, ns)
-            invB = swap(invB_all_p(fields_t[i]))
-            Gtt = pn.matmul(pn.matmul(B, Gtt), invB)
-            Gt0 = pn.matmul(B, Gt0)
-            G0t = pn.matmul(G0t, invB)
-            if i < n_stab - 1:
-                emits.append((Gtt, Gt0, G0t))
 
-        # self-check: full-block propagation vs the stabilized boundary
-        err = jnp.zeros((), jnp.float64)
-        for a, b in ((Gtt, Gtt_s), (Gt0, Gt0_s), (G0t, G0t_s)):
-            err = jnp.maximum(err, jnp.max(jnp.abs(
-                pn.to_f64(a) - nm.to_f64(b))))
+        def prop_group(xs):
+            """n_stab propagation steps + emits for a GROUP of blocks
+            (batched over the group).  Grouping (lax.map below) bounds
+            the working set like the triplet chunking above — full-batch
+            propagation carries at tf32 headline scale are ~GBs each."""
+            anc, f_blk, stab_g = xs           # (G, nfl, ns, ns) tuples
+            Gtt, Gt0, G0t = anc
+            fields_t = jnp.swapaxes(f_blk, 0, 1)     # (n_stab, G, ns)
+            outs = []
+            for i in range(n_stab):
+                B = swap(B_all_p(fields_t[i]))
+                invB = swap(invB_all_p(fields_t[i]))
+                Gtt = pn.matmul(pn.matmul(B, Gtt), invB)
+                Gt0 = pn.matmul(B, Gt0)
+                G0t = pn.matmul(G0t, invB)
+                if i < n_stab - 1:
+                    outs.append(jax.vmap(emit64)(Gtt, Gt0, G0t))
+            errg = jnp.zeros((), jnp.float64)
+            for a, b in ((Gtt, stab_g[0]), (Gt0, stab_g[1]),
+                         (G0t, stab_g[2])):
+                errg = jnp.maximum(errg, jnp.max(jnp.abs(
+                    pn.to_f64(a) - conv_to_f64(b))))
+            ys_g = jax.tree_util.tree_map(
+                lambda *a: jnp.stack(a, axis=1), *outs) if outs else None
+            return ys_g, errg
+
+        conv_to_f64 = pn.to_f64
+        group = next(g for g in (_BLOCK_GROUP, 4, 2, 1)
+                     if n_stack % g == 0)
+        xs = (anchors, blocks, stab)
+        if use_scan and group < n_stack:
+            reshape = lambda a: a.reshape(                  # noqa: E731
+                (n_stack // group, group) + a.shape[1:])
+            xs = jax.tree_util.tree_map(reshape, xs)
+            ys_prop, errs = jax.lax.map(prop_group, xs)
+            ys_prop = jax.tree_util.tree_map(
+                lambda a: a.reshape((n_stack,) + a.shape[2:]), ys_prop)
+            err = jnp.max(errs)
+        else:
+            ys_prop, err = prop_group(xs)
 
         # assemble ys in tau order: tau 0, then per block k the
         # propagated i=1..n_stab-1 and the stabilized boundary k+1
         y0 = emit64(*t0)
-        ys_prop = [jax.vmap(emit64)(*e) for e in emits]  # (n_stack, ...)
         ys_stab = jax.vmap(emit64)(*stab)
-        # interleave: for block k, taus k*n_stab + (1..n_stab)
-        per_block = jax.tree_util.tree_map(
-            lambda *a: jnp.stack(a, axis=1), *(ys_prop + [ys_stab]))
+        if ys_prop is not None:          # n_stab == 1 has no prop emits
+            per_block = jax.tree_util.tree_map(
+                lambda p, s: jnp.concatenate([p, s[:, None]], axis=1),
+                ys_prop, ys_stab)
+        else:
+            per_block = jax.tree_util.tree_map(
+                lambda s: s[:, None], ys_stab)
         ys = jax.tree_util.tree_map(
             lambda a: a.reshape((nt,) + a.shape[2:]), per_block)
         ys = jax.tree_util.tree_map(

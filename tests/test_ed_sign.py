@@ -80,7 +80,11 @@ def test_doped_repulsive_sign_reweighting_end_to_end(tmp_path):
     HDF5, and the analysis jackknife-ratio reweighting, against ED."""
     import h5py
 
-    L, U, t, mu, beta, nt = 2, 4.0, 1.0, -0.6, 2.0, 20
+    # mu = -1.5, beta = 3 rather than the original -0.6/2.0: the milder
+    # workload's negative-sign probability is a per-trajectory lottery
+    # (a jax upgrade flipped it to all-positive for every seed tried —
+    # round-4), while this one reads <sign> ~ 0.97 robustly
+    L, U, t, mu, beta, nt = 2, 4.0, 1.0, -1.5, 3.0, 30
     from dqmc_tpu.lattice import square_lattice
     K = build_kinetic_matrix(square_lattice(L, L), t=t, mu=mu)
     exact = ed_observables_K(K, -U, beta)     # repulsive: U_arg = -U
