@@ -511,41 +511,15 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
         propagated-vs-stabilized max over all blocks (dqmc.cpp:500-511
         analogue)."""
         blocks = fields[:nt].reshape(n_stack, n_stab, -1)
-
-        # all block products at once: n_stab batched multiword matmul
-        # steps over the (n_stack, nfl) batch, replacing the n_stack *
-        # n_stab SEQUENTIAL matmuls the suffix scan body used to carry
-        swapB = lambda M: nm.cmap(                         # noqa: E731
-            lambda c: jnp.swapaxes(c, 0, 1), M)
-        fields_t0 = jnp.swapaxes(blocks, 0, 1)      # (n_stab, n_stack, ns)
-        Bbars = nm.df(jnp.broadcast_to(eyeB32, (n_stack,) + eyeB32.shape))
-        for i in range(n_stab):
-            Bbars = nm.matmul(swapB(B_all(fields_t0[i])), Bbars)
-
-        # suffix AND prefix chains as ONE batch-2 fold scan: iteration
-        # j folds transpose(Bbar[n_stack-1-j]) into the suffix half and
-        # Bbar[j] into the prefix half — n_stack sequential QR folds
-        # total instead of 2*n_stack.  The suffix half emits its
-        # PRE-fold carry (= boundary n_stack-j), the prefix half its
-        # POST-fold value (= F1 at boundary j+1).
-        suf_ops = jax.tree_util.tree_map(
-            lambda a: a[::-1], df_linalg.transpose(Bbars))
-        ops = jax.tree_util.tree_map(
-            lambda s, p: jnp.stack([s, p], axis=1), suf_ops, Bbars)
-
-        def fold_body(F, B2):
-            F2 = df_linalg.mat_mul_ldr(B2, F, nm=nm)
-            emit = jax.tree_util.tree_map(
-                lambda pre, post: jnp.stack([pre[0], post[1]]), F, F2)
-            return F2, emit
-
-        F0 = jax.tree_util.tree_map(
-            lambda a: jnp.stack([a, a]), _identity_ldr(ns, nm, nfl))
-        F_fin, emits = _scan(fold_body, F0, ops, use_scan)
-        F2t_0 = jax.tree_util.tree_map(lambda a: a[0], F_fin)
-        bounds = jax.tree_util.tree_map(
-            lambda a: a[::-1, 0], emits)            # boundaries 1..n_stack
-        prefixes = jax.tree_util.tree_map(lambda a: a[:, 1], emits)
+        F2t_0, bounds, Bbars = _suffix_stack(blocks)
+        # NOTE a "suffix+prefix as one batch-2 fold scan, block products
+        # batched out" variant was measured and REVERTED (round 4,
+        # artifacts/r4/*_b3): CPU-bit-identical, but ON CHIP it moved
+        # the tf32 tier's self-check 6.8e-13 -> 1.4e-11 and broke the
+        # df32 tier's gate outright (6.6e-7 -> 5.0e-4) for +8.8% / -1.4%
+        # throughput — the fold scans are throughput-bound, not
+        # latency-bound, so halving the sequential QR count bought
+        # almost nothing.
 
         G00, _ = df_linalg.inv_one_plus_ldr_dag(
             df_linalg.to_ldr(nm.df(eyeB32), nm=nm), F2t_0, nm=nm)
@@ -555,6 +529,14 @@ def measurement_uneq_fn(model64, cfg: EngineConfig, nm, measure_fn, *,
             return measure_fn(pn.to_f64(warp_p(Gtt)),
                               pn.to_f64(warp_p(Gt0)),
                               pn.to_f64(warp_p(G0t)), G00_64)
+
+        # prefix LDR stack: F1[b] = LDR of B(b*n_stab, 0), b = 1..n_stack
+        def pre_body(F1, Bbar_blk):
+            F1 = df_linalg.mat_mul_ldr(Bbar_blk, F1, nm=nm)
+            return F1, F1
+
+        _, prefixes = _scan(pre_body, _identity_ldr(ns, nm, nfl), Bbars,
+                            use_scan)
 
         # Batched triplet factorization over boundaries 1..n_stack
         # (leading dim n_stack; every df_linalg op is batch-generic).
