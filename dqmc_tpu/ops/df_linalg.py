@@ -113,9 +113,14 @@ def _df_qr_mode() -> str:
 
 
 def _qr(M: DF, nm=df32):
-    if nm is df32 and _df_qr_mode() == "hybrid":
-        from dqmc_tpu.ops.df_qr_kernel import df_qr_hybrid
-        return df_qr_hybrid(M)
+    if _df_qr_mode() == "hybrid":
+        if nm is df32:
+            from dqmc_tpu.ops.df_qr_kernel import df_qr_hybrid
+            return df_qr_hybrid(M)
+        from dqmc_tpu.ops import tf32 as _tf32
+        if nm is _tf32:
+            from dqmc_tpu.ops.tf_qr_kernel import tf_qr_hybrid
+            return tf_qr_hybrid(M)
     return df_qr(M, nm=nm)
 
 
