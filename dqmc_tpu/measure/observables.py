@@ -187,23 +187,46 @@ def currxx_tau(Gtt, Gt0, G0t, G00, ctx: MeasurementContext):
     nbr = ctx.nbr_x
     ns = ctx.n_sites
     dt = Gtt.dtype
-    P = (jnp.arange(ns)[None, :] == nbr[:, None]).astype(dt)
-    PT = P.T
-    eye = jnp.eye(ns, dtype=dt)
+    if dt == jnp.float64:
+        # f64 tier path: P is a PERMUTATION, so every P-product is an
+        # exact row/column gather — memory ops instead of f64 matmuls,
+        # which XLA:TPU EMULATES at ~20x an f32 matmul (round-4: the
+        # matmul form made the tier's per-tau measurements a dominant
+        # cost of the measured sweep).  The f32 engine path below keeps
+        # the measured-faster MXU matmul forms.
+        idx = jnp.arange(ns)
 
-    def one_spin(Gtt_s, Gt0_s, G0t_s, G00_s):
-        PGt0 = P @ Gt0_s
-        PG0t_T = (P @ G0t_s).T
-        G0t_T = G0t_s.T
-        dc1_i = jnp.sum((P @ Gtt_s) * eye, axis=1)   # Gtt(ix, i)
-        dc2_i = jnp.sum(Gtt_s * P, axis=1)           # Gtt(i, ix)
-        dc1_j = jnp.sum((P @ G00_s) * eye, axis=1)   # G00(jx, j)
-        dc2_j = jnp.sum(G00_s * P, axis=1)           # G00(j, jx)
-        c1 = PG0t_T * PGt0                           # G0t(jx,i) Gt0(ix,j)
-        c2 = G0t_T * (PGt0 @ PT)                     # G0t(j,i)  Gt0(ix,jx)
-        c3 = (P @ PG0t_T) * Gt0_s                    # G0t(jx,ix) Gt0(i,j)
-        c4 = (P @ G0t_T) * (Gt0_s @ PT)              # G0t(j,ix) Gt0(i,jx)
-        return dc1_i, dc2_i, dc1_j, dc2_j, c1, c2, c3, c4
+        def one_spin(Gtt_s, Gt0_s, G0t_s, G00_s):
+            PGt0 = Gt0_s[nbr, :]
+            PG0t_T = G0t_s[nbr, :].T
+            G0t_T = G0t_s.T
+            dc1_i = Gtt_s[nbr, idx]                  # Gtt(ix, i)
+            dc2_i = Gtt_s[idx, nbr]                  # Gtt(i, ix)
+            dc1_j = G00_s[nbr, idx]                  # G00(jx, j)
+            dc2_j = G00_s[idx, nbr]                  # G00(j, jx)
+            c1 = PG0t_T * PGt0                       # G0t(jx,i) Gt0(ix,j)
+            c2 = G0t_T * PGt0[:, nbr]                # G0t(j,i)  Gt0(ix,jx)
+            c3 = PG0t_T[nbr, :] * Gt0_s              # G0t(jx,ix) Gt0(i,j)
+            c4 = G0t_T[nbr, :] * Gt0_s[:, nbr]       # G0t(j,ix) Gt0(i,jx)
+            return dc1_i, dc2_i, dc1_j, dc2_j, c1, c2, c3, c4
+    else:
+        P = (jnp.arange(ns)[None, :] == nbr[:, None]).astype(dt)
+        PT = P.T
+        eye = jnp.eye(ns, dtype=dt)
+
+        def one_spin(Gtt_s, Gt0_s, G0t_s, G00_s):
+            PGt0 = P @ Gt0_s
+            PG0t_T = (P @ G0t_s).T
+            G0t_T = G0t_s.T
+            dc1_i = jnp.sum((P @ Gtt_s) * eye, axis=1)   # Gtt(ix, i)
+            dc2_i = jnp.sum(Gtt_s * P, axis=1)           # Gtt(i, ix)
+            dc1_j = jnp.sum((P @ G00_s) * eye, axis=1)   # G00(jx, j)
+            dc2_j = jnp.sum(G00_s * P, axis=1)           # G00(j, jx)
+            c1 = PG0t_T * PGt0                           # G0t(jx,i) Gt0(ix,j)
+            c2 = G0t_T * (PGt0 @ PT)                     # G0t(j,i)  Gt0(ix,jx)
+            c3 = (P @ PG0t_T) * Gt0_s                    # G0t(jx,ix) Gt0(i,j)
+            c4 = (P @ G0t_T) * (Gt0_s @ PT)              # G0t(j,ix) Gt0(i,jx)
+            return dc1_i, dc2_i, dc1_j, dc2_j, c1, c2, c3, c4
 
     up = one_spin(Gtt[0], Gt0[0], G0t[0], G00[0])
     dn = one_spin(Gtt[-1], Gt0[-1], G0t[-1], G00[-1])

@@ -49,10 +49,27 @@ def site_to_r_batched(chis, ctx: MeasurementContext):
     nd = ctx.L1 * ctx.L2 * ctx.n_orb * ctx.n_orb
     lead = chis.shape[:-2]
     X = chis.reshape(lead + (ns * ns,))
-    D = (ctx.pair_cols[:, None]
-         == jnp.arange(nd, dtype=jnp.int32)[None, :]).astype(chis.dtype)
-    out = jnp.einsum("...k,kd->...d", X, D,
-                     precision=jax.lax.Precision.HIGHEST) / ctx.n_cells
+    if chis.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        # f64 tier path on accelerators: XLA EMULATES the f64 dot at
+        # ~20x an f32 one (round-4: this contraction was a dominant
+        # per-tau cost of the tf32/df32 measured sweep).  The one-hot
+        # operand is EXACT in f32 and the df32 Ozaki matmul accumulates
+        # the selected entries error-free to ~2^-46 relative — below
+        # the tf tier's own 1e-10 observable budget.
+        from dqmc_tpu.ops import df32 as _df32
+        D32 = (ctx.pair_cols[:, None]
+               == jnp.arange(nd, dtype=jnp.int32)[None, :]).astype(
+                   jnp.float32)
+        Xdf = _df32.from_f64(X.reshape((-1, ns * ns)))
+        Ddf = _df32.DF(D32, jnp.zeros_like(D32))
+        out = _df32.to_f64(_df32.matmul(Xdf, Ddf)) / ctx.n_cells
+        out = out.reshape(lead + (nd,))
+    else:
+        D = (ctx.pair_cols[:, None]
+             == jnp.arange(nd, dtype=jnp.int32)[None, :]).astype(
+                 chis.dtype)
+        out = jnp.einsum("...k,kd->...d", X, D,
+                         precision=jax.lax.Precision.HIGHEST) / ctx.n_cells
     return out.reshape(lead + (ctx.L1, ctx.L2, ctx.n_orb * ctx.n_orb))
 
 

@@ -33,6 +33,10 @@ def main():
     p.add_argument("--n-stab", type=int, default=5)
     p.add_argument("--walkers", type=int, default=16)
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--real-measure", action="store_true",
+                   help="use the manager's real fused uneq observables "
+                        "(greenTau/doublonTau/currxxTau/...) instead of "
+                        "a trivial mean")
     args = p.parse_args()
 
     import jax
@@ -57,8 +61,18 @@ def main():
                                 (args.walkers, args.nt, lat.n_sites), 0, 4,
                                 dtype=jnp.int32)
 
-    def mfn(Gtt, Gt0, G0t, G00):
-        return jnp.mean(Gtt) + jnp.mean(Gt0) + jnp.mean(G0t)
+    if args.real_measure:
+        import tempfile
+        from dqmc_tpu.measure.manager import MeasurementManager
+        manager = MeasurementManager(
+            lat, n_walkers=args.walkers, measure_unequal=True,
+            dtype=jnp.float32,
+            out_dir=tempfile.mkdtemp(prefix="dqmc_tfprof_out_"))
+        manager.add_defaults()
+        mfn = manager.uneq_measure_fn
+    else:
+        def mfn(Gtt, Gt0, G0t, G00):
+            return jnp.mean(Gtt) + jnp.mean(Gt0) + jnp.mean(G0t)
 
     fn = measurement_uneq_fn(m64, cfg, nm, mfn)
     step = jax.jit(lambda f: fn(SimpleNamespace(fields=f)))

@@ -50,6 +50,11 @@ import numpy as np
 assert np.isfinite(np.asarray(states.G)).all()
 print('2f kernel lowered + ran; acc =', float(states.acc_sum.mean()) / 2)"
 
+# 1b. chain equivalence on hardware: 1f/2f kernel-vs-scan decisions plus
+#     the delayed-vs-submatrix field-trajectory bit-assert (round-3
+#     verdict item 7)
+step equivalence 3000 python tools/tpu_2f_equivalence.py
+
 # 2. measured-path device-time split (block-scan + pair-matmul reduction)
 step uneq_profile 2400 python -u tools/profile_phases.py --uneq
 
