@@ -55,6 +55,9 @@ print('2f kernel lowered + ran; acc =', float(states.acc_sum.mean()) / 2)"
 #     verdict item 7)
 step equivalence 3000 python tools/tpu_2f_equivalence.py
 
+# 1c. f64-tier measurement transform path (accelerator-only branch)
+step measure_transform 900 python tools/tpu_measure_transform_check.py
+
 # 2. measured-path device-time split (block-scan + pair-matmul reduction)
 step uneq_profile 2400 python -u tools/profile_phases.py --uneq
 
