@@ -41,3 +41,9 @@ step stretch_delayed_w1 3000 env DQMC_STACK_INPLACE=1 python bench.py \
     --config stretch --dtype df32 --walkers 1 --skip-parity --inner 1 \
     --skip-baseline
 echo "logs in $OUT"
+# appended while campaign running (bash reads top-level commands
+# incrementally): the stretch-scale accuracy pin — df32 chain vs f64
+# oracle at ns=1024 beta=16 (verdict missing-#2's second half)
+step stretch_accuracy_pin 3000 python tools/df_parity_probe.py \
+    --n 1024 --nt 320 --beta 16 --n-stab 5
+echo "campaign 3 complete (incl. appended steps)"
