@@ -31,6 +31,9 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import jax
 
+# the environment pre-registers the 'axon' TPU plugin which overrides
+# JAX_PLATFORMS (see tests/conftest.py) — the programmatic config wins
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
