@@ -14,8 +14,9 @@ This probe measures that margin.  For many (fields, key) draws it runs
 ONE slice through both Pallas kernels from the IDENTICAL (G, fields)
 input and, wherever their decisions differ, recomputes the per-site
 Metropolis quantities in f64 with the reference rank-1 recurrence
-(following the DELAYED arm's decisions up to the flip site) and reports
-the margin at the first flip.
+(following the DELAYED arm's decisions up to the flip site — the two
+arms are identical up to there) and reports the margin at the first
+flip.
 
 Verdict rule:
   - every flip margin << typical margins (say < 1e-3)  -> benign
@@ -34,6 +35,67 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def margins_f64(model, G0, f0, order, props, us, follow):
+    """Reference rank-1 Metropolis recurrence in f64, following the
+    decision sequence ``follow`` (so the state at each visit matches the
+    arm that produced those decisions); returns per-visit
+    (site, margin, accept64)."""
+    from dqmc_tpu import hsfield
+
+    proposal = np.asarray(hsfield.PROPOSAL)
+    G = np.asarray(G0, np.float64)
+    f = np.asarray(f0).copy()
+    out = []
+    for j in range(len(order)):
+        i = int(order[j])
+        old = int(f[i])
+        new = int(proposal[old, int(props[j])])
+        gammaR, bosonR, delta = (np.asarray(x, np.float64) for x in
+                                 model.update_factors(old, new))
+        G_ii = G[:, i, i]
+        r_flv = 1.0 + (1.0 - G_ii) * delta
+        R = float(gammaR * bosonR * np.prod(r_flv) ** model.det_power)
+        u = float(us[j])
+        margin = abs(min(1.0, abs(R)) - u)
+        acc64 = u < min(1.0, abs(R))
+        out.append((i, margin, acc64))
+        if bool(follow[j]):
+            prefac = delta / r_flv
+            e_i = np.zeros(G.shape[-1])
+            e_i[i] = 1.0
+            u_vec = G[:, :, i]
+            v_vec = G[:, i, :] - e_i[None, :]
+            G = G + prefac[:, None, None] * (
+                u_vec[:, :, None] * v_vec[:, None, :])
+            f[i] = new
+    return out
+
+
+def first_flip(model, G, fl, order, props, us, fd, fs):
+    """First visit where the two arms' decisions differ, with its f64
+    Metropolis margin computed from the (still common) state.
+
+    ``fd`` / ``fs`` are the two arms' slice fields after the update.
+    Each site is visited exactly once (order is a permutation) and the
+    proposal table excludes the old state, so an arm accepted a visit
+    iff that site's field changed.  Returns (visit, site, margin,
+    acc_delayed, acc_sub) or None when the decision sets are equal.
+    """
+    f0 = np.asarray(fl)
+    order = np.asarray(order)
+    follow = [bool(fd[int(order[j])] != f0[int(order[j])])
+              for j in range(len(order))]
+    stats = margins_f64(model, G, fl, order, np.asarray(props),
+                        np.asarray(us), follow)
+    for j in range(len(order)):
+        i = int(order[j])
+        acc_d = bool(fd[i] != f0[i])
+        acc_s = bool(fs[i] != f0[i])
+        if acc_d != acc_s:
+            return (j, i, stats[j][1], acc_d, acc_s)
+    return None
 
 
 def main():
@@ -68,48 +130,12 @@ def main():
         lambda k, G, f: pallas_site_update_submatrix(args.k)(model, k, G, f))
     greens = jax.jit(lambda f: rebuild_stack_and_greens(model, cfg, f)[1])
 
-    proposal = np.asarray(hsfield.PROPOSAL)
-
-    def margins_f64(G0, f0, order, props, us, follow):
-        """Reference rank-1 recurrence in f64, following the decision
-        sequence `follow` (so the state at each visited site matches the
-        arm that produced those decisions); returns per-visit
-        (site, margin, accept64)."""
-        G = np.asarray(G0, np.float64)
-        f = np.asarray(f0).copy()
-        out = []
-        for j in range(len(order)):
-            i = int(order[j])
-            old = int(f[i])
-            new = int(proposal[old, int(props[j])])
-            gammaR, bosonR, delta = (np.asarray(x, np.float64) for x in
-                                     model.update_factors(old, new))
-            G_ii = G[:, i, i]
-            r_flv = 1.0 + (1.0 - G_ii) * delta
-            R = float(gammaR * bosonR * np.prod(r_flv) ** model.det_power)
-            u = float(us[j])
-            margin = abs(min(1.0, abs(R)) - u)
-            acc64 = u < min(1.0, abs(R))
-            out.append((i, margin, acc64))
-            if bool(follow[j]):
-                prefac = delta / r_flv
-                e_i = np.zeros(G.shape[-1])
-                e_i[i] = 1.0
-                u_vec = G[:, :, i]
-                v_vec = G[:, i, :] - e_i[None, :]
-                G = G + prefac[:, None, None] * (
-                    u_vec[:, :, None] * v_vec[:, None, :])
-                f[i] = new
-        return out
-
     n_flips = 0
     n_large = 0
     all_flip_margins = []
     for trial in range(args.trials):
         key = jax.random.PRNGKey(5000 + trial)
         fields = hsfield.init_fields(jax.random.fold_in(key, 3), nt, ns)
-        # a few thermalization-ish decorrelation slices would be ideal;
-        # random fields are fine for decision-margin statistics
         G = greens(fields)
         fl = fields[0]
         kd = jax.random.fold_in(key, 11)
@@ -117,29 +143,9 @@ def main():
         Gs, fs, as_ = (np.asarray(x) for x in kern_s(kd, G, fl)[:3])
         if (fd == fs).all():
             continue
-        order, props, us = (np.asarray(x) for x in
-                            draw_slice_randoms(kd, ns, jnp.float32))
-        # decisions of the delayed arm per visit: a site's field changed
-        # iff accepted with a different state... recover per-visit accept
-        # from the f64 recurrence following the DELAYED outcome
-        f0 = np.asarray(fl)
-        # each site is visited exactly once (order is a permutation) and
-        # the proposal table excludes the old state, so the delayed arm
-        # accepted a visit iff that site's field changed
-        follow = [bool(fd[int(order[j])] != f0[int(order[j])])
-                  for j in range(ns)]
-        stats = margins_f64(G, fl, order, props, us, follow)
-        first = None
-        for j in range(ns):
-            i = int(order[j])
-            acc_d = bool(fd[i] != f0[i])
-            acc_s = bool(fs[i] != f0[i])
-            if acc_d != acc_s:
-                first = (j, i, stats[j][1], acc_d, acc_s)
-                break
+        order, props, us = draw_slice_randoms(kd, ns, jnp.float32)
+        first = first_flip(model, G, fl, order, props, us, fd, fs)
         if first is None:
-            # same accept pattern but different accepted STATE (can't
-            # happen: proposal deterministic) — or cascaded equal sets
             print(f"trial {trial}: decision sets equal but fields differ "
                   f"(unexpected)", file=sys.stderr)
             continue
