@@ -483,7 +483,14 @@ print(json.dumps({"cpu_sweeps_per_sec": n / (time.perf_counter() - t0)}))
 # stand-in stays put instead of drifting with our own CPU performance.
 # --remeasure-baseline re-runs the subprocess measurement of the CURRENT
 # code if you want today's CPU number instead.
-PINNED_BASELINE = {(16, 8.0, 160, 5): 0.16629662575243462}
+PINNED_BASELINE = {
+    (16, 8.0, 160, 5): 0.16629662575243462,
+    # stretch denominator measured in round 4 (tools/stretch_baseline.py,
+    # artifacts/r4c3/stretch_cpu_baseline.log): 2 pairs, spread 3%; the
+    # earlier "~115x" stretch claims used a nt*ns^3 cost-model estimate
+    # (1.3e-3) — the real single-core rate is 1.8x slower than the model
+    (32, 16.0, 320, 5): 0.0007278452463983585,
+}
 
 
 def cpu_baseline(remeasure: bool = False) -> float:
@@ -660,7 +667,9 @@ def main():
                                 min_window=args.min_window,
                                 uneq_stab=args.uneq_stab)
         baseline = (float("nan") if args.skip_baseline
-                    or args.config != "headline" else cpu_baseline(args.remeasure_baseline))
+                    or (args.config != "headline"
+                        and (L, BETA, NT, NSTAB) not in PINNED_BASELINE)
+                    else cpu_baseline(args.remeasure_baseline))
         have_base = baseline == baseline and baseline > 0
         tier = ("" if args.measure_precision == "engine"
                 else f", {args.measure_precision}-measured")
@@ -721,10 +730,12 @@ def main():
                        site_update=args.site_update,
                        n_repeats=args.repeats, min_window=args.min_window)
     rate, err, acc = r["rate"], r["err"], r["acc"]
-    # the CPU baseline (the "MKL-core" denominator) is defined on the
-    # headline workload only
+    # the CPU baseline (the "MKL-core" denominator) is pinned per workload;
+    # configs without a pinned/measurable denominator report null
     baseline = (float("nan") if args.skip_baseline
-                or args.config != "headline" else cpu_baseline(args.remeasure_baseline))
+                or (args.config != "headline"
+                    and (L, BETA, NT, NSTAB) not in PINNED_BASELINE)
+                else cpu_baseline(args.remeasure_baseline))
     have_base = baseline == baseline and baseline > 0
     vs = rate / baseline if have_base else None
 
