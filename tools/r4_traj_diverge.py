@@ -133,6 +133,8 @@ def main():
     n_flips = 0
     n_large = 0
     all_flip_margins = []
+    max_dG = 0.0
+    n_decisions = 0
     for trial in range(args.trials):
         key = jax.random.PRNGKey(5000 + trial)
         fields = hsfield.init_fields(jax.random.fold_in(key, 3), nt, ns)
@@ -141,6 +143,10 @@ def main():
         kd = jax.random.fold_in(key, 11)
         Gd, fd, ad = (np.asarray(x) for x in kern_d(kd, G, fl)[:3])
         Gs, fs, as_ = (np.asarray(x) for x in kern_s(kd, G, fl)[:3])
+        n_decisions += ns
+        # the decoherence seed: the two arms' f32 G-update arithmetic
+        # differs at lsb level even when every decision matches
+        max_dG = max(max_dG, float(np.abs(Gd - Gs).max()))
         if (fd == fs).all():
             continue
         order, props, us = draw_slice_randoms(kd, ns, jnp.float32)
@@ -159,15 +165,20 @@ def main():
               f"ndiff={int((fd != fs).sum())} acc_sums={ad:.4f}/{as_:.4f}",
               file=sys.stderr)
 
-    print(f"\n{args.trials} trials: {n_flips} slices with a decision flip, "
-          f"{n_large} flips at margin > 1e-3", file=sys.stderr)
+    print(f"\n{args.trials} trials ({n_decisions} decisions): "
+          f"{n_flips} slices with a decision flip, "
+          f"{n_large} flips at margin > 1e-3, "
+          f"max per-slice |G_delayed - G_sub| = {max_dG:.3e}",
+          file=sys.stderr)
     if all_flip_margins:
         print(f"flip margins: min={min(all_flip_margins):.3e} "
               f"max={max(all_flip_margins):.3e}", file=sys.stderr)
     import json
     print(json.dumps({
-        "trials": args.trials, "flip_slices": n_flips,
+        "trials": args.trials, "decisions": n_decisions,
+        "flip_slices": n_flips,
         "large_margin_flips": n_large,
+        "max_dG_slice": max_dG,
         "max_flip_margin": (max(all_flip_margins) if all_flip_margins
                             else None)}))
 
