@@ -516,8 +516,21 @@ def cpu_baseline(remeasure: bool = False) -> float:
         "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     })
     script = _BASELINE_SCRIPT % (L, BETA, NT, NSTAB, U, MU)
-    out = subprocess.run([sys.executable, "-c", script], env=env,
-                         capture_output=True, text=True, timeout=3600)
+    # scale the hard timeout with the workload: the stretch shape runs
+    # ~1374 s/pair on this 1-core host (BENCHMARKS round-12) — init +
+    # warm-up + 3 timed pairs is ~5600 s, far past the old constant 3600
+    # calibrated on the two measured points: headline 12 s/pair,
+    # stretch 1374 s/pair — both match nt*L^6 / 2.5e8
+    est_pair_s = max(1.0, NT * L ** 6 / 2.5e8)
+    timeout_s = max(3600.0, 6.0 * est_pair_s + 1800.0)
+    try:
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"baseline subprocess exceeded {timeout_s:.0f}s — degrading "
+            f"to NaN (use the pinned denominator instead)")
+        return float("nan")
     if out.returncode != 0:
         log("baseline subprocess failed:", out.stderr[-2000:])
         return float("nan")

@@ -40,6 +40,16 @@ def main():
                         "parity++ tier; its error vs the f64 chain is "
                         "dominated by the F64 CHAIN'S OWN ~6.7e-10 error "
                         "at beta=8 — see tests/test_tf_linalg.py)")
+    p.add_argument("--granularities", default="",
+                   help="comma list of n_fold values to probe (default: "
+                        "n_stab,2,1).  The stretch pin (ns=1024) runs "
+                        "'--granularities 5' — the production fold stride "
+                        "only; finer strides multiply the fold count "
+                        "without informing the production-accuracy claim")
+    p.add_argument("--no-cond", action="store_true",
+                   help="skip per-fold condition tracking (each cond is "
+                        "one host SVD — ~3 s at ns=1024 on this 1-core "
+                        "host, x O(nt/n_fold) folds)")
     args = p.parse_args()
 
     import functools
@@ -62,6 +72,12 @@ def main():
     Bs = _b_chain(rng, args.n, args.nt, args.beta)
     n = args.n
 
+    # The f64 oracle (stabilized LDR chain + exact solves) runs on the
+    # HOST CPU backend: at stretch scale (ns=1024) LAPACK f64 QR is
+    # ~0.3 s/fold while the TPU's emulated f64 would be minutes/fold.
+    # The df/tf chains under probe stay on the default (TPU) backend.
+    cpu0 = jax.devices("cpu")[0]
+
     # On TPU, jit the per-fold ops (df graphs are bit-stable under jit
     # there; one compile each, then ~ms dispatches).  On CPU stay eager
     # (the LLVM contraction bug corrupts jitted df chains).
@@ -70,11 +86,14 @@ def main():
     fold_first = jj(functools.partial(df_linalg.to_ldr, nm=nm))
     fold_next = jj(functools.partial(df_linalg.mat_mul_ldr, nm=nm))
 
-    # f64 stabilized oracle
-    F64 = _stab64_suffix(Bs, args.n_stab)
-    G64, _ = linalg.inv_one_plus_ldr_dag(
-        linalg.identity_ldr(n, jnp.float64), F64)
-    G64 = np.asarray(G64)
+    # f64 stabilized oracle (host CPU — see cpu0 note above)
+    t_or = time.time()
+    with jax.default_device(cpu0):
+        F64 = _stab64_suffix(Bs, args.n_stab)
+        G64, _ = linalg.inv_one_plus_ldr_dag(
+            linalg.identity_ldr(n, jnp.float64), F64)
+        G64 = np.asarray(G64)
+    print(f"f64 oracle built on cpu in {time.time()-t_or:.0f}s")
 
     def df_from64(x):
         return nm.from_f64(jnp.asarray(x, jnp.float64))
@@ -115,25 +134,40 @@ def main():
         return to64(G)
 
     def solve_f64_exact(F2t):
-        """Re-solve the df factors exactly in f64 (fold-error isolation)."""
-        Fx = linalg.LDR(jnp.asarray(to64(F2t.L)), jnp.asarray(to64(F2t.d)),
-                        jnp.asarray(to64(F2t.R)))
-        G, _ = linalg.inv_one_plus_ldr_dag(
-            linalg.identity_ldr(n, jnp.float64), Fx)
-        return np.asarray(G)
+        """Re-solve the df factors exactly in f64 (fold-error isolation).
 
+        The d-ladder is exponent-split (LDRdf: mantissa multiword +
+        int32 power-of-two channel, ops/df_linalg.py:46-56) — the f64
+        reconstruction must fold the exponent back in, else the ladder
+        is only the [1,2) mantissa and the 'exact' solve is garbage.
+        """
+        d_full = to64(F2t.d) * np.exp2(np.asarray(F2t.e, np.float64))
+        with jax.default_device(cpu0):
+            Fx = linalg.LDR(jnp.asarray(to64(F2t.L)),
+                            jnp.asarray(d_full),
+                            jnp.asarray(to64(F2t.R)))
+            G, _ = linalg.inv_one_plus_ldr_dag(
+                linalg.identity_ldr(n, jnp.float64), Fx)
+            return np.asarray(G)
+
+    if args.granularities:
+        grans = tuple(int(g) for g in args.granularities.split(","))
+    else:
+        grans = (args.n_stab, 2, 1)
     print(f"workload: n={n} nt={args.nt} beta={args.beta} "
           f"n_stab={args.n_stab} nm={args.nm}  (oracle: f64 stabilized "
           f"chain — itself only ~6.7e-10-accurate at beta=8!)")
-    for n_fold in (args.n_stab, 2, 1):
+    for n_fold in grans:
         t0 = time.time()
-        F2t, conds = df_chain(n_fold, track_cond=True)
+        F2t, conds = df_chain(n_fold, track_cond=not args.no_cond)
         e_df = np.abs(solve_df(F2t) - G64).max()
         e_x = np.abs(solve_f64_exact(F2t) - G64).max()
+        cond_s = ("cond: skipped" if args.no_cond or not conds else
+                  f"fold-input cond: med={np.median(conds):.2e} "
+                  f"max={np.max(conds):.2e}")
         print(f"n_fold={n_fold:2d}: chain+df-solve err={e_df:.3e}  "
               f"fold-only (exact f64 solve) err={e_x:.3e}  "
-              f"fold-input cond: med={np.median(conds):.2e} "
-              f"max={np.max(conds):.2e}  [{time.time()-t0:.0f}s]")
+              f"{cond_s}  [{time.time()-t0:.0f}s]", flush=True)
 
 
 if __name__ == "__main__":

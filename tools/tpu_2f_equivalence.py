@@ -177,10 +177,19 @@ def main():
                 "delayed-vs-submatrix decision flip at LARGE Metropolis "
                 f"margin {margin:.3e} — a real decision bug, not "
                 "threshold decoherence")
+            # a benign flip means one arm applied a rank-1 update the
+            # other didn't: |dG| is O(0.1-1) on the flipped row/column
+            # BY CONSTRUCTION — only a loose sanity bound applies here
+            assert dg < 10.0, (
+                f"sub-vs-delayed G deviation {dg} absurd even for a "
+                f"margin-bounded decision flip")
         else:
             print(f"sub-vs-delayed trial {trial}: decisions bit-equal, "
                   f"|dG|={dg:.2e}", file=sys.stderr)
-        assert dg < 1e-2, f"sub-vs-delayed G deviation {dg} above envelope"
+            # the tight arithmetic envelope is only provable when both
+            # arms applied the SAME updates (bit-equal decisions)
+            assert dg < 1e-2, (
+                f"sub-vs-delayed G deviation {dg} above envelope")
     print(f"sub-vs-delayed: {n_flip}/8 slices had a (margin-bounded) "
           f"flip", file=sys.stderr)
 
@@ -201,11 +210,14 @@ def main():
             if not (fd == fs).all():
                 diverged_at = i
     # acc_sum accumulates the per-sweep MEAN acceptance fraction
-    # (see run.py:615: acc = acc_sum / (2 * n_pairs))
+    # (see bench.py:387: acc = acc_sum / (2 * n_pairs))
     acc_d = float(sd.acc_sum) / (2 * n_pairs)
     acc_s = float(ss.acc_sum) / (2 * n_pairs)
-    # binomial noise over 2*n_pairs*nt*ns decisions, ~4 sigma headroom
-    tol = 4.0 * (0.25 / (2 * n_pairs * nt * ns)) ** 0.5
+    # DIFFERENCE of two near-independent acceptance means: var ~
+    # 2*p(1-p)/N (the factor 2 the round-4 advisor flagged as missing),
+    # widened to 6 sigma because within-chain Metropolis decisions are
+    # autocorrelated through the field state (true variance > binomial)
+    tol = 6.0 * (2 * 0.25 / (2 * n_pairs * nt * ns)) ** 0.5
     print(f"traj: acc_delayed={acc_d:.4f} acc_sub={acc_s:.4f} "
           f"(tol {tol:.4f}), first bit-divergence at pair "
           f"{diverged_at} (decoherence expected)", file=sys.stderr)
