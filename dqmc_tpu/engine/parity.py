@@ -63,8 +63,15 @@ def _expv_table_f64(model, sign: float = 1.0) -> np.ndarray:
     single stored flavor (both spins identical, model.cpp:62-72) and
     for the repulsive model's up flavor; -1 for repulsive down
     (models/repulsive_hubbard.expV_diag)."""
-    g = float(np.asarray(model.g, np.float64))
     eta = np.asarray(hsfield.ETA, np.float64)
+    if isinstance(model.g, jax.core.Tracer):
+        # replica-stacked PT tier: the model rides a vmap axis (one beta
+        # per slot), so g is traced — build the table in-graph at f64.
+        # exp on emulated f64 is ~1-ulp; the tier target is 2^-33-grade
+        # relative, so the in-graph table is grade-neutral.
+        return jnp.exp(sign * jnp.asarray(model.g, jnp.float64)
+                       * jnp.asarray(eta))
+    g = float(np.asarray(model.g, np.float64))
     return np.exp(sign * g * eta)
 
 
@@ -704,3 +711,81 @@ def measurement_greens_fn(model64, cfg: EngineConfig, nm, *,
         return jnp.stack(Gs)                        # (nfl, ns, ns)
 
     return lambda states: jax.vmap(one)(states.fields)
+
+
+# ----------------------------------------------------------------------
+# Replica-stacked tier constructors (parallel tempering)
+# ----------------------------------------------------------------------
+#
+# PT runs one model per leading-axis slot (one beta per replica,
+# parallel/walkers.stack_models).  The reference's PT ranks measure
+# through the same full-grade path as any rank (update.cpp:47-117 +
+# measurementh5.h) — these wrappers give our PT driver the same
+# property: the measurement tier vmaps over (model, fields) pairs, so
+# each replica's G is rebuilt with ITS OWN beta's expK/g at nm grade.
+
+
+def measurement_greens_fn_stacked(models64, cfg: EngineConfig, nm, *,
+                                  symmetric: bool = False,
+                                  n_stab: int | None = None):
+    """Replica-stacked twin of :func:`measurement_greens_fn`.
+
+    ``models64``: a stacked f64 model pytree (leading axis = replicas).
+    Returns ``greens_fn(states) -> G (R, nfl, ns, ns) f64`` where
+    replica r's equal-time G is rebuilt from its fields with its own
+    model constants (beta-dependent expK / g ride the vmap axis through
+    the traced-tolerant ``_expv_table_f64``).
+    """
+    _check_model(models64)
+    if n_stab is None:
+        from dqmc_tpu.ops import tf32 as _tf32
+        n_stab = 2 * cfg.n_stab if nm is _tf32 else cfg.n_stab
+    if cfg.nt % n_stab != 0:
+        n_stab = cfg.n_stab
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, n_stab=n_stab)
+    signs = _flavor_signs(models64)
+
+    def one(m64, fields):
+        left = nm.from_f64(m64.invexpK_half)
+        right = nm.from_f64(m64.expK_half)
+        Gs = []
+        for sign in signs:
+            G, _ = rebuild_chain(m64, cfg, fields, nm, flavor_sign=sign)
+            if symmetric:
+                G = nm.matmul(nm.matmul(left, G), right)
+            Gs.append(nm.to_f64(G))
+        return jnp.stack(Gs)                        # (nfl, ns, ns)
+
+    return lambda states: jax.vmap(one)(models64, states.fields)
+
+
+def measurement_uneq_fn_stacked(models64, cfg: EngineConfig, nm,
+                                measure_fn, *, symmetric: bool = False,
+                                n_stab: int | None = None,
+                                emit_greens: bool = False):
+    """Replica-stacked twin of :func:`measurement_uneq_fn`.
+
+    The per-replica fn is constructed INSIDE the replica vmap with the
+    stride already resolved on concrete betas (the df32 stride cap uses
+    the LARGEST beta in the ladder — largest dtau — so every replica
+    keeps the advertised grade), which skips the only host-float branch
+    of the underlying constructor.
+    """
+    _check_model(models64)
+    if n_stab is None or n_stab <= 0:
+        n_stab = cfg.n_stab
+        if nm is df32:
+            dtau = float(np.max(np.asarray(models64.beta))) / cfg.nt
+            n_stab = max(1, min(n_stab, int(0.4 / dtau)))
+    n_stab = _divisor_stride(cfg.nt, n_stab)
+    import types as _types
+
+    def one(m64, fields):
+        fn = measurement_uneq_fn(m64, cfg, nm, measure_fn,
+                                 symmetric=symmetric, n_stab=n_stab,
+                                 emit_greens=emit_greens, use_scan=True)
+        out = fn(_types.SimpleNamespace(fields=fields[None]))
+        return jax.tree_util.tree_map(lambda a: a[0], out)
+
+    return lambda states: jax.vmap(one)(models64, states.fields)

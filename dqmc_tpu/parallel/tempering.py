@@ -217,6 +217,20 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     log = _rank0_log(verbose)
     dtype, df_mode = _resolve_dtype(params)
 
+    # Measurement tier (VERDICT r4 item 2): the reference's PT ranks
+    # measure through the same full-grade path as any rank
+    # (update.cpp:47-117 + measurementh5.h) — measure_precision wires
+    # the df32/tf32 tiers into the PT measured loop exactly as in the
+    # standard driver, via the replica-stacked tier constructors
+    # (engine/parity.measurement_*_fn_stacked: per-replica beta models).
+    measure_prec = params.get_str("simulation", "measure_precision",
+                                  "engine")
+    if measure_prec not in ("engine", "tf32", "df32"):
+        raise ValueError(f"[simulation] measure_precision must be engine, "
+                         f"tf32 or df32, got {measure_prec!r}")
+    if measure_prec != "engine":
+        jax.config.update("jax_enable_x64", True)
+
     # f32 chains get f64 exchange actions by default (the f32 log-det bias
     # is documented in NOTES.md); x64 must be on for the cast to be real.
     # df32 chains carry their own df-grade actions (replica_exchange_df) —
@@ -379,11 +393,44 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
     # events run as ONE jitted scan of the fused measured iteration —
     # the same ~2x host-dispatch elimination run.py's bin loop got
     # (measure.manager.make_measured_iter).
+    greens_fn = None
+    tier_uneq_step = None
+    uneq_emits_greens = False
+    if measure_prec != "engine":
+        from dqmc_tpu.engine.parity import (measurement_greens_fn_stacked,
+                                            measurement_uneq_fn_stacked)
+        from dqmc_tpu.ops import df32 as _nm_df32, tf32 as _nm_tf32
+        nm_meas = _nm_tf32 if measure_prec == "tf32" else _nm_df32
+        models64 = stack_models([
+            model_cls.from_params(params, lat, beta=b, dtype=jnp.float64)
+            for b in betas])
+        meas_stab = params.get_int("simulation", "measure_n_stab", 0)
+        uneq_stab = params.get_int("simulation", "measure_uneq_n_stab", 0)
+        if uneq and uneq_fn is not None:
+            tier_uneq_step = measurement_uneq_fn_stacked(
+                models64, cfg, nm_meas, uneq_fn, symmetric=symmetric,
+                n_stab=uneq_stab if uneq_stab > 0 else None,
+                emit_greens=True)
+            uneq_emits_greens = True
+            log(f"PT measurement tier: tau-resolved Gt0/G0t/Gtt + "
+                f"equal-time G rebuilt per replica at {measure_prec}")
+        else:
+            greens_fn = measurement_greens_fn_stacked(
+                models64, cfg, nm_meas, symmetric=symmetric,
+                n_stab=meas_stab if meas_stab > 0 else None)
+            log(f"PT measurement tier: equal-time G rebuilt per replica "
+                f"at {measure_prec}")
+
+    engine_uneq = ((lambda s: uneq_step(models, s))
+                   if (uneq and uneq_fn is not None
+                       and tier_uneq_step is None) else None)
     iter_fn, zero_acc = manager.make_measured_iter(
-        step, (lambda s: uneq_step(models, s))
-        if (uneq and uneq_fn is not None) else None,
-        warp_fn=(lambda G: warp(models, G)) if symmetric else None,
-        signed=signed)
+        step, tier_uneq_step if tier_uneq_step is not None else engine_uneq,
+        warp_fn=(lambda G: warp(models, G))
+        if (symmetric and greens_fn is None
+            and not uneq_emits_greens) else None,
+        signed=signed, greens_fn=greens_fn,
+        uneq_emits_greens=uneq_emits_greens)
 
     @partial(jax.jit, static_argnames=("n",))
     def seg_fn(states, acc, n):

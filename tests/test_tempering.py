@@ -442,3 +442,104 @@ betas = 2.0, 1.0
     assert 0.0 <= summary.exchange_rate <= 1.0
     for r in range(2):
         assert (tmp_path / "results" / f"data_{r}.h5").exists()
+
+
+def test_stacked_greens_fn_matches_per_replica():
+    """The replica-stacked tier rebuild (measurement_greens_fn_stacked)
+    must equal the single-model tier applied per replica — the only
+    arithmetic difference is the in-graph expV table (traced g), which
+    is f64-exp-exact to ~1 ulp."""
+    from dqmc_tpu.engine.parity import (measurement_greens_fn,
+                                        measurement_greens_fn_stacked)
+    from dqmc_tpu.ops import df32 as nm
+    from dqmc_tpu import hsfield
+
+    lat = square_lattice(4, 4)
+    betas = [2.0, 1.5]
+    nt, n_stab = 8, 2
+    models64 = [AttractiveHubbard.build(lat, U=4.0, t=1.0, mu=-0.1,
+                                        beta=b, nt=nt, dtype=jnp.float64)
+                for b in betas]
+    stacked = stack_models(models64)
+    cfg = EngineConfig(nt=nt, n_stab=n_stab)
+    key = jax.random.PRNGKey(7)
+    fields = jnp.stack([
+        hsfield.init_fields(jax.random.fold_in(key, r), nt, lat.n_sites)
+        for r in range(len(betas))])
+
+    class _S:
+        pass
+
+    s = _S()
+    s.fields = fields
+    G_stacked = np.asarray(measurement_greens_fn_stacked(
+        stacked, cfg, nm)(s))
+
+    for r, m64 in enumerate(models64):
+        sr = _S()
+        sr.fields = fields[r][None]
+        G_r = np.asarray(measurement_greens_fn(m64, cfg, nm)(sr))[0]
+        assert np.abs(G_stacked[r] - G_r).max() < 1e-10, (
+            r, np.abs(G_stacked[r] - G_r).max())
+
+
+def test_pt_driver_measure_precision_end_to_end(tmp_path):
+    """PT with measure_precision=df32 (VERDICT r4 item 2): same seed and
+    engine dtype sample the identical trajectory, so the tier-measured
+    bins must track the f64-engine-measured bins at tier grade — and
+    must not be bit-identical (that would mean the tier isn't wired)."""
+    base = """
+[Lattice]
+L1 = 2
+L2 = 2
+[hubbard]
+U = 4.0
+t = 1.0
+mu = 0.0
+[simulation]
+beta = 2.0
+nt = 8
+n_therms = 4
+n_sweeps = 2
+n_bins = 2
+n_stab = 2
+symmetric = false
+isMeasureUnequalTime = false
+seed = 3
+dtype = float64
+%s
+[ParallelTempering]
+enabled = true
+sweep_steps = 2
+betas = 2.0, 1.5
+"""
+    from dqmc_tpu.run import run_simulation
+    from dqmc_tpu.analysis.cli import load_bins
+    cwd = os.getcwd()
+    dirs = {}
+    for tag, extra in (("engine", ""), ("tier", "measure_precision = df32")):
+        out = tmp_path / tag
+        out.mkdir()
+        os.chdir(out)
+        try:
+            summary = run_simulation(
+                Parameters.from_string(base % extra),
+                out_dir=str(out / "results"), verbose=False)
+        finally:
+            os.chdir(cwd)
+        assert summary.exchange_rate is not None
+        dirs[tag] = str(out / "results")
+
+    se, _, _, _, _ = load_bins(dirs["engine"], True)
+    st, _, _, _, _ = load_bins(dirs["tier"], True)
+    for name in se:
+        a, b = np.asarray(se[name]), np.asarray(st[name])
+        d = np.abs(a - b).max()
+        # same trajectory, different measurement grade: tier-level
+        # agreement (df32 ~1e-8; CPU-jit multiword corruption can cost
+        # a few orders at tiny scale — still far under physics noise)
+        assert d < 1e-3, (name, d)
+    d_density = np.abs(np.asarray(se["density"])
+                       - np.asarray(st["density"])).max()
+    assert d_density > 0.0, "tier bins bit-identical to engine bins " \
+                            "— measure_precision not actually wired"
