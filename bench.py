@@ -400,7 +400,8 @@ PT_SCALES = {
 }
 
 
-def pt_throughput(n_sweeps_total: int = 300, scale: str = "doped"):
+def pt_throughput(n_sweeps_total: int = 300, scale: str = "doped",
+                  measure_prec: str = "engine", uneq: bool = False):
     """Production-scale parallel-tempering benchmark (VERDICT round-2
     item 3, steady-state discipline round-3 item 6): 6 replicas on a
     beta ladder, f32 chains with f64 exchange actions, the FUSED
@@ -430,9 +431,10 @@ n_therms = 200
 n_sweeps = {n_sweeps}
 n_bins = {n_bins}
 n_stab = 5
-isMeasureUnequalTime = false
+isMeasureUnequalTime = {str(uneq).lower()}
 seed = 11
 dtype = float32
+{f'measure_precision = {measure_prec}' if measure_prec != 'engine' else ''}
 [ParallelTempering]
 enabled = true
 sweep_steps = 10
@@ -593,6 +595,14 @@ def main():
                    help="benchmark production-scale parallel tempering "
                         "(12x12, nt=120, 6 replicas, fused measured loop)")
     p.add_argument("--pt-sweeps", type=int, default=300)
+    p.add_argument("--pt-measure", choices=("engine", "tf32", "df32"),
+                   default="engine",
+                   help="with --pt: measurement tier for the PT measured "
+                        "loop (replica-stacked rebuilds, parallel "
+                        "tempering at reference measurement grade)")
+    p.add_argument("--pt-uneq", action="store_true",
+                   help="with --pt: tau-resolved measurement on (the "
+                        "tier self-check then gates ok)")
     p.add_argument("--pt-scale", choices=sorted(PT_SCALES), default="doped",
                    help="PT workload: doped (12x12 nt=120) or headline "
                         "(16x16 nt=160)")
@@ -651,16 +661,30 @@ def main():
     # device context stay isolated from the primary measurement.
     if args.pt:
         s, (Lpt, ntpt, betas) = pt_throughput(args.pt_sweeps,
-                                              scale=args.pt_scale)
+                                              scale=args.pt_scale,
+                                              measure_prec=args.pt_measure,
+                                              uneq=args.pt_uneq)
+        # ok gating (VERDICT r4 item 2): a tier-grade PT row gates on
+        # the TIER's own self-check, not the 1e4 engine-envelope sanity
+        # bound.  tier_err_max exists only when the tau-resolved tier
+        # ran (measure_prec != engine AND uneq on).
+        if s.tier_err_max is not None:
+            row_ok = measured_ok(args.pt_measure, s.tier_err_max)
+        else:
+            row_ok = bool(s.max_precision_error < 1e4)
         print(json.dumps({
             "metric": f"PT replica-sweeps/sec/chip ({Lpt}x{Lpt} "
                       f"beta={min(betas)}-{max(betas)}, nt={ntpt}, "
                       f"{len(betas)} replicas, f32 chains + f64 actions, "
-                      "fused measured loop)",
+                      "fused measured loop"
+                      + ("" if args.pt_measure == "engine"
+                         else f", {args.pt_measure}-measured")
+                      + (", tau-resolved" if args.pt_uneq else "") + ")",
             "value": round(s.sweeps_per_sec_steady, 3),
             "value_incl_compile": round(s.sweeps_per_sec, 3),
             "first_segment_s": round(s.first_segment_seconds, 1),
-            "ok": bool(s.max_precision_error < 1e4),
+            "tier_err_max": s.tier_err_max,
+            "ok": row_ok,
             "unit": "replica-sweeps/s/chip",
             "vs_baseline": None,
             "exchange_rate": round(s.exchange_rate, 4),
@@ -762,6 +786,13 @@ def main():
             "acc": parity_raw["acc"],
             "vs_baseline": (round(parity_raw["value"] / baseline, 2)
                             if have_base else None),
+            # VERDICT r4 weak #3: the headline companion's steady
+            # self-check drifted 3.5e-3 -> 1.04e-2 -> 1.30e-2 across
+            # rounds 2-4 without comment; track the history so the next
+            # motion is visible in the JSON itself (values from
+            # BENCH_r0N.json, same workload/walkers).
+            "err_max_history": {"r02": 3.5e-3, "r03": 1.04e-2,
+                                "r04": 1.30e-2},
         }
 
     tier_note = {

@@ -245,12 +245,16 @@ def _scan(f, carry, xs, use_scan: bool):
 
 # boundaries per chunk in the block-batched triplet factorization (see
 # one_batched): 4 x W x nfl simultaneous 256^2 systems saturate the MXU
-# while the per-chunk working set stays ~n_stack/4 below the full batch
-_TRIPLET_CHUNK = 4
+# while the per-chunk working set stays ~n_stack/4 below the full batch.
+# Env-overridable (read at import): the stretch scale (ns=1024) needs
+# chunk 1-2 — one boundary's factorization intermediates are already
+# ~64x the headline's per-boundary footprint.
+import os as _os
+_TRIPLET_CHUNK = int(_os.environ.get("DQMC_TRIPLET_CHUNK", "4"))
 # blocks per group in the batched propagation/emit phase (same memory
 # argument: full-batch carries at the tf32 headline are ~GBs each;
 # 8 x W x nfl matmuls per step still saturate the MXU)
-_BLOCK_GROUP = 8
+_BLOCK_GROUP = int(_os.environ.get("DQMC_BLOCK_GROUP", "8"))
 
 
 def _divisor_stride(nt: int, want: int) -> int:

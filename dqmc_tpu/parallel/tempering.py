@@ -515,4 +515,6 @@ def run_parallel_tempering(params, *, out_dir: str = "results",
         max_precision_error=err_max, mean_precision_error=err_mean,
         therm_max_precision_error=therm_err_max,
         exchange_rate=exchange_rate,
-        first_segment_seconds=t_first, sweeps_per_sec_steady=steady)
+        first_segment_seconds=t_first, sweeps_per_sec_steady=steady,
+        tier_err_max=(err_uneq_max if measure_prec != "engine" and uneq
+                      else None))

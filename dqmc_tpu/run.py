@@ -161,6 +161,12 @@ class RunSummary:
     # the jit compile); sweeps_per_sec_steady excludes both
     first_segment_seconds: float = float("nan")
     sweeps_per_sec_steady: float = float("nan")
+    # measurement-tier self-check (max over bins of the tier's
+    # propagated-vs-stabilized error), separate from
+    # max_precision_error (which, for an f32 chain, is dominated by the
+    # SAMPLING engine's envelope): set when measure_precision != engine
+    # and the tau-resolved tier runs; None otherwise
+    tier_err_max: Optional[float] = None
 
 
 def _maybe_init_distributed(params: Parameters) -> None:
@@ -628,7 +634,9 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
         therm_seconds=dt_therm, measure_seconds=dt_meas,
         sweeps_per_sec=sweeps_per_sec, acc_rate=acc,
         max_precision_error=err_max, mean_precision_error=err_mean,
-        therm_max_precision_error=therm_err_max, n_stab=cfg.n_stab)
+        therm_max_precision_error=therm_err_max, n_stab=cfg.n_stab,
+        tier_err_max=(err_uneq_max if measure_prec != "engine" and uneq
+                      else None))
 
 
 def main(argv=None):

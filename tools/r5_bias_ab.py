@@ -150,7 +150,17 @@ def _compare(est_a, est_b, label):
     return rows, ok
 
 
+def _maybe_force_cpu():
+    """This image's axon plugin overrides the JAX_PLATFORMS env var
+    (see tests/conftest.py) — honor it programmatically so CPU smoke
+    runs do not land on the TPU tunnel."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _maybe_force_cpu()
     p = argparse.ArgumentParser()
     p.add_argument("--config", choices=sorted(WORKLOADS),
                    default="headline")

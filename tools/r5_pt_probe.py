@@ -123,7 +123,17 @@ n_stab = {n_stab}
     return {"arm": name, "betas": betas, "envelope": env, "rows": rows}
 
 
+def _maybe_force_cpu():
+    """This image's axon plugin overrides the JAX_PLATFORMS env var
+    (see tests/conftest.py) — honor it programmatically so CPU smoke
+    runs do not land on the TPU tunnel."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _maybe_force_cpu()
     p = argparse.ArgumentParser()
     p.add_argument("--L", type=int, default=12)
     p.add_argument("--nt", type=int, default=120)
