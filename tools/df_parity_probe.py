@@ -29,6 +29,12 @@ sys.path.insert(0, __import__("os").path.dirname(
 
 
 def main():
+    # the axon plugin overrides the JAX_PLATFORMS env var (see
+    # tests/conftest.py) — honor it programmatically so CPU arms of the
+    # path-discrimination probes do not land on the TPU tunnel
+    if __import__("os").environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--nt", type=int, default=80)

@@ -49,3 +49,13 @@ step pin_n256_b16_xla 2400 env DQMC_DF_QR=xla python tools/df_parity_probe.py \
 step pin_n512_b16 2400 python tools/df_parity_probe.py \
     --n 512 --nt 320 --beta 16 --n-stab 5 --granularities 5
 echo "campaign 1 appendix complete"
+# appendix 2: single-fold QR localization of the stretch degradation —
+# orth/backward/d-ladder-resolution per path (xla vs kernel) at a REAL
+# deep-chain fold input, scored against host-f64 QR of the same matrix.
+step qr_fold_1024_b16 3000 python tools/r5_qr_fold_probe.py \
+    --n 1024 --beta 16 --nt 320 --fold 32
+step qr_fold_512_b16 2400 python tools/r5_qr_fold_probe.py \
+    --n 512 --beta 16 --nt 320 --fold 32
+step qr_fold_256_b16 1800 python tools/r5_qr_fold_probe.py \
+    --n 256 --beta 16 --nt 320 --fold 32
+echo "campaign 1 appendix 2 complete"
