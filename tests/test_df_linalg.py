@@ -382,51 +382,7 @@ def test_solve_refined_safeguard_bounds_divergence(rng):
     assert rel < 1e3, f"safeguard failed to bound divergence: rel={rel:.3e}"
 
 
-def _df_suffix_tree(Bs, n_stab):
-    """Suffix chain as a PAIRWISE TREE of ldr_mul_ldr combines (the
-    log-depth fold the associative-scan formulations use)."""
-    nt = len(Bs)
-    n = Bs[0].shape[0]
-    leaves = []
-    for i_blk in range(-(-nt // n_stab)):
-        blk = Bs[i_blk * n_stab:(i_blk + 1) * n_stab]
-        Bbar = np.eye(n)
-        for B in blk:
-            Bbar = B @ Bbar
-        leaves.append(df_linalg.to_ldr(_df_from64(Bbar.T)))
-    # suffix product in dag order: latest block first
-    leaves = leaves[::-1]
-    while len(leaves) > 1:
-        nxt = []
-        for i in range(0, len(leaves) - 1, 2):
-            nxt.append(df_linalg.ldr_mul_ldr(leaves[i], leaves[i + 1]))
-        if len(leaves) % 2:
-            nxt.append(leaves[-1])
-        leaves = nxt
-    return leaves[0]
-
-
-def test_ldr_mul_ldr_matches_sequential_fold(rng):
-    """Tree-fold (ldr_mul_ldr pairwise combines) of the beta=8 suffix
-    chain reaches the same df accuracy tier as the sequential
-    mat_mul_ldr fold: G from inv_one_plus_ldr_dag vs the f64 stabilized
-    oracle stays ~1e-8 for both."""
-    n, nt, beta, n_stab = 36, 40, 8.0, 5
-    Bs = _b_chain(rng, n, nt, beta)
-
-    F_seq = _df_suffix(Bs, n_stab)
-    F_tree = _df_suffix_tree(Bs, n_stab)
-    F64 = _stab64_suffix(Bs, n_stab)
-
-    eye = df_linalg.to_ldr(_df_from64(np.eye(n)))
-    I64 = linalg.to_ldr(jnp.asarray(np.eye(n)))
-    G64, _ = linalg.inv_one_plus_ldr_dag(I64, F64)
-    errs = {}
-    for name, F in (("seq", F_seq), ("tree", F_tree)):
-        G, _ = df_linalg.inv_one_plus_ldr_dag(eye, F)
-        errs[name] = np.abs(_to64(G) - np.asarray(G64)).max()
-    print("fold errors:", errs)
-    assert errs["seq"] < 5e-8
-    assert errs["tree"] < 1e-6, (
-        f"tree fold lost the tier: {errs['tree']:.3e} "
-        f"(seq {errs['seq']:.3e})")
+# (the ldr_mul_ldr tree-fold and its test were removed in round 4:
+# doubly-graded LDR x LDR combines are only NORMWISE backward stable
+# and lose the small-d relative accuracy — see NOTES.md "LDR x LDR
+# tree folds are a dead end at multiword-f32")
