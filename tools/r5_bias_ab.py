@@ -174,6 +174,10 @@ def main():
     p.add_argument("--skip-power", action="store_true")
     p.add_argument("--skip-ab", action="store_true",
                    help="run only the power check (arms must exist)")
+    p.add_argument("--arms", default="",
+                   help="comma list of arms to (re)run: a,b (default "
+                        "both; others are re-analyzed from disk — for "
+                        "resuming after a TPU worker crash)")
     p.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                  "r5c1", "bias_ab"))
     args = p.parse_args()
@@ -191,9 +195,12 @@ def main():
 
     dir_a = os.path.join(out, "a_f32")
     dir_b = os.path.join(out, "b_df32")
-    if not args.skip_ab:
+    arms = set(a.strip() for a in args.arms.split(",") if a.strip()) \
+        or {"a", "b"}
+    if not args.skip_ab and "a" in arms:
         _run_arm("a:f32-sampled", _params_text(
             cfg, dtype="float32", seed=101, n_stab=n_stab, **base), dir_a)
+    if not args.skip_ab and "b" in arms:
         _run_arm("b:df32-sampled", _params_text(
             cfg, dtype="df32", seed=202, n_stab=n_stab, **base), dir_b)
     est_a, est_b = _estimates(dir_a), _estimates(dir_b)
