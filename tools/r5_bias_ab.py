@@ -8,11 +8,16 @@ dqmc.cpp:390).  The measurement tiers fix what the *measurement* sees,
 never what the *chain* samples.  This tool measures whether that matters:
 
   arm a:  dtype = float32 (fused f32 sampling) + measure_precision=tf32
-  arm b:  dtype = df32  (hybrid ~1e-8 sampling) + measure_precision=tf32
+  arm b:  dtype = df32  (hybrid ~1e-8 sampling) + measure_precision=df32
+          (tf32 measurement under the df32 engine crashes the TPU
+          worker — see the arm-b comment in main; the df32-vs-tf32
+          measurement delta is ~1e-8, five orders below the ~1e-3
+          statistical resolution, so the SAMPLING comparison is
+          unaffected)
 
-Identical workload, independent seeds, same measurement tier — the ONLY
-difference between the two binned ensembles is the grade of the sampled
-trajectory.  Agreement criterion per scalar observable:
+Identical workload, independent seeds, tier-grade measurement in both —
+the difference between the two binned ensembles is the grade of the
+sampled trajectory.  Agreement criterion per scalar observable:
 
   z = |m_a - m_b| / sqrt(err_a^2 + err_b^2) < Z_SCALAR (2.0)
 
@@ -57,7 +62,7 @@ ARRAY_FRAC = 0.10
 
 
 def _params_text(cfg, *, dtype, seed, n_stab, bins, sweeps, therms,
-                 walkers):
+                 walkers, measure="tf32"):
     L, beta, nt, _, U, mu, _ = cfg
     return f"""
 [Lattice]
@@ -75,7 +80,7 @@ n_sweeps = {sweeps}
 n_bins = {bins}
 n_stab = {n_stab}
 dtype = {dtype}
-measure_precision = tf32
+measure_precision = {measure}
 symmetric = false
 isMeasureUnequalTime = false
 seed = {seed}
@@ -201,8 +206,15 @@ def main():
         _run_arm("a:f32-sampled", _params_text(
             cfg, dtype="float32", seed=101, n_stab=n_stab, **base), dir_a)
     if not args.skip_ab and "b" in arms:
+        # measurement tier df32, NOT tf32: the df32-engine + tf32-tier
+        # kernel pairing in one program reproducibly crashes the TPU
+        # worker ("kernel fault", twice on 2026-08-21) — a new-on-chip
+        # combination.  The tier delta (1e-8 vs 1e-13 measurement G) is
+        # 5 orders below the ~1e-3 statistical resolution, so the
+        # sampling comparison is unaffected.
         _run_arm("b:df32-sampled", _params_text(
-            cfg, dtype="df32", seed=202, n_stab=n_stab, **base), dir_b)
+            cfg, dtype="df32", seed=202, n_stab=n_stab, measure="df32",
+            **base), dir_b)
     est_a, est_b = _estimates(dir_a), _estimates(dir_b)
     print("A/B comparison (f32-sampled vs df32-sampled, both "
           "tf32-measured):", flush=True)

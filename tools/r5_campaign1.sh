@@ -59,3 +59,8 @@ step qr_fold_512_b16 2400 python tools/r5_qr_fold_probe.py \
 step qr_fold_256_b16 1800 python tools/r5_qr_fold_probe.py \
     --n 256 --beta 16 --nt 320 --fold 32
 echo "campaign 1 appendix 2 complete"
+# appendix 3: arm b of the headline bias A/B died to a TPU worker
+# crash/restart mid-run (arm a landed, 2068 s); rerun b + power and
+# redo the comparison against the on-disk arm a.
+step bias_ab_headline_retry 7200 python tools/r5_bias_ab.py \
+    --config headline --bins 40 --sweeps 50 --arms b

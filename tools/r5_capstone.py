@@ -107,7 +107,11 @@ def main():
         "A": dict(dtype="float32", extra="measure_precision = tf32",
                   bins=args.bins, therms=args.therms, seed=11,
                   walkers=args.walkers),
-        "B": dict(dtype="df32", extra="measure_precision = tf32",
+        # arm B measures at df32, not tf32: the df32-engine + tf32-tier
+        # kernel pairing in one program reproducibly crashes the TPU
+        # worker (see tools/r5_bias_ab.py arm b); the measurement-grade
+        # delta (~1e-8) is far below the statistical resolution
+        "B": dict(dtype="df32", extra="measure_precision = df32",
                   bins=max(2, args.bins // 4), therms=args.therms,
                   seed=22, walkers=args.walkers),
         "C": dict(dtype="float64", extra="",
