@@ -242,6 +242,12 @@ def run_simulation(params: Parameters, *, out_dir: str = "results",
     _maybe_init_distributed(params)
     log = _rank0_log(verbose)
 
+    # persistent XLA cache for every entry point (tools import
+    # run_simulation directly and would otherwise pay the multi-minute
+    # cold compiles the CLI main() avoids); enable() is idempotent
+    from dqmc_tpu import compile_cache
+    compile_cache.enable()
+
     # On TPU, f32 matmuls default to bfloat16 passes — fatal for DQMC
     # stabilization.  Full-precision accumulation is the only sane default;
     # override via [simulation] matmul_precision for experiments.

@@ -215,6 +215,17 @@ def main():
         _run_arm("b:df32-sampled", _params_text(
             cfg, dtype="df32", seed=202, n_stab=n_stab, measure="df32",
             **base), dir_b)
+    missing = [d for d in (dir_a, dir_b)
+               if not os.path.isdir(os.path.join(d, "results"))
+               and not os.path.isdir(d)]
+    if missing or not (os.path.isdir(dir_a) and os.path.isdir(dir_b)):
+        # partial campaign step (e.g. arm a ran alone before arm b's
+        # slot): the arm data is on disk; the comparison runs when the
+        # other arm lands
+        print(f"partial run — arm dirs present: "
+              f"a={os.path.isdir(dir_a)} b={os.path.isdir(dir_b)}; "
+              f"comparison deferred", flush=True)
+        return 0
     est_a, est_b = _estimates(dir_a), _estimates(dir_b)
     print("A/B comparison (f32-sampled vs df32-sampled, both "
           "tf32-measured):", flush=True)
