@@ -23,6 +23,8 @@ step() {
 
 step twokernel 1500 python tools/r5_twokernel_repro.py
 step df_tier_tail 1800 python tools/r5_df_tier_tail.py --iters 60
+step chain_growth_1024 2400 python tools/r5_chain_growth.py \
+    --n 1024 --beta 16 --nt 320 --every 4
 step pin_n512_kernel 1800 python tools/df_parity_probe.py \
     --n 512 --nt 320 --beta 16 --n-stab 5 --granularities 5 --no-cond
 step pin_n512_xla 1800 env DQMC_DF_QR=xla python tools/df_parity_probe.py \
