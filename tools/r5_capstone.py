@@ -119,42 +119,57 @@ def main():
                   therms=max(200, args.therms // 4), seed=33,
                   walkers=args.walkers),
     }
-    results, times = {}, {}
+    results, times, failures = {}, {}, {}
     for tag, kw in arms.items():
         out = os.path.join(args.out, tag)
-        if tag in skip:
-            from dqmc_tpu.analysis.cli import analyze
-            res = analyze(results_dir=os.path.join(out, "results"),
-                          param_file=os.path.join(out, "parameters.in"),
-                          out_dir=out, verbose=False)
-            results[tag] = {n: (float(m), float(e))
-                            for n, (m, e) in res.items()}
-            times[tag] = float("nan")
-        else:
-            results[tag], times[tag] = run_arm(tag, out, **kw)
+        try:
+            if tag in skip:
+                from dqmc_tpu.analysis.cli import analyze
+                res = analyze(results_dir=os.path.join(out, "results"),
+                              param_file=os.path.join(out, "parameters.in"),
+                              out_dir=out, verbose=False)
+                results[tag] = {n: (float(m), float(e))
+                                for n, (m, e) in res.items()}
+                times[tag] = float("nan")
+            else:
+                results[tag], times[tag] = run_arm(tag, out, **kw)
+        except Exception as exc:  # isolate arms: one arm's compile/
+            # worker fault must not void the others' chip time
+            failures[tag] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[{tag}] FAILED: {failures[tag]}", flush=True)
+    if failures and not results:
+        print(json.dumps({"ok": False, "failures": failures}))
+        return 1
+    for tag in failures:
+        results.pop(tag, None)
 
     def z(x, y):
         (mx, ex), (my, ey) = x, y
         d = float(np.hypot(ex, ey))
         return abs(mx - my) / d if d else float("inf")
 
-    names = sorted(set(results["A"]) & set(results["B"]) &
-                   set(results["C"]))
-    lines = ["| observable | A: f32+tf32-meas (production) | "
-             "B: df32-sampled | C: f64 oracle | z(A,B) | z(A,C) |",
-             "|---|---|---|---|---|---|"]
-    ok = True
+    tags = [t for t in "ABC" if t in results]
+    names = sorted(set.intersection(*(set(results[t]) for t in tags))) \
+        if tags else []
+    heads = {"A": "A: f32+tf32-meas (production)", "B": "B: df32-sampled",
+             "C": "C: f64 oracle"}
+    pairs = [(a, b) for i, a in enumerate(tags) for b in tags[i + 1:]]
+    lines = ["| observable | " + " | ".join(heads[t] for t in tags)
+             + " | " + " | ".join(f"z({a},{b})" for a, b in pairs) + " |",
+             "|" + "---|" * (1 + len(tags) + len(pairs))]
+    ok = bool(tags)
     for n in names:
-        (ma, ea), (mb, eb), (mc, ec) = (results[t][n] for t in "ABC")
-        zab, zac = z(results["A"][n], results["B"][n]), \
-            z(results["A"][n], results["C"][n])
-        ok &= zab < 2.0 and zac < 2.0
-        lines.append(f"| {n} | {ma:.6f} ± {ea:.1e} | {mb:.6f} ± {eb:.1e} "
-                     f"| {mc:.6f} ± {ec:.1e} | {zab:.2f} | {zac:.2f} |")
+        zs = [z(results[a][n], results[b][n]) for a, b in pairs]
+        ok &= all(v < 2.0 for v in zs)
+        cells = [f"{results[t][n][0]:.6f} ± {results[t][n][1]:.1e}"
+                 for t in tags]
+        lines.append(f"| {n} | " + " | ".join(cells) + " | "
+                     + " | ".join(f"{v:.2f}" for v in zs) + " |")
     table = "\n".join(lines)
     print(table, flush=True)
     verdict = {"tool": "r5_capstone", "bins": args.bins,
-               "walkers": args.walkers, "ok": bool(ok),
+               "walkers": args.walkers, "ok": bool(ok and not failures),
+               "failures": failures,
                "results": results, "seconds": times}
     with open(os.path.join(args.out, "verdict.json"), "w") as f:
         json.dump(verdict, f, indent=1)
