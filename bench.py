@@ -693,7 +693,14 @@ def main():
             "tier": "f32 sampling + f64 exchange actions",
             "err_note": "steady-state window: first-segment compile "
                         "excluded, 200 thermalization pairs before the "
-                        "error envelope",
+                        "error envelope.  err_max_steady is the f32 "
+                        "naive-vs-stab self-check maxed over replicas x "
+                        "whole phase — a HEAVY-TAILED diagnostic of the "
+                        "f32 working buffer (probe: no-exchange arm "
+                        "already reads 1.7e3 at doped scale; "
+                        "BENCHMARKS round-14), not what PT samples "
+                        "(f64 exchange actions) or measures at tier "
+                        "grade (--pt-measure df32/tf32)",
         }))
         return
 
