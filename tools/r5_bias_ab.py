@@ -62,8 +62,18 @@ ARRAY_FRAC = 0.10
 
 
 def _params_text(cfg, *, dtype, seed, n_stab, bins, sweeps, therms,
-                 walkers, measure="tf32"):
+                 walkers, measure="tf32", meas_stab=0):
+    # meas_stab: explicit measurement-tier stride.  The POWER arm must
+    # set this to the production stride: its loosened n_stab is meant to
+    # bias the SAMPLING chain only, but the tf32 tier defaults to the
+    # engine stride — at n_stab=40 the tier rebuild both crawls (~2x
+    # past the arm-a runtime; the first power attempt died on its
+    # campaign timeout) and corrupts the measured values themselves,
+    # which would let the power check "detect" measurement damage
+    # instead of sampling bias.
     L, beta, nt, _, U, mu, _ = cfg
+    meas_line = (f"measure_uneq_n_stab = {meas_stab}\n"
+                 f"measure_n_stab = {meas_stab}\n" if meas_stab else "")
     return f"""
 [Lattice]
 L1 = {L}
@@ -81,6 +91,7 @@ n_bins = {bins}
 n_stab = {n_stab}
 dtype = {dtype}
 measure_precision = {measure}
+{meas_line}
 symmetric = false
 isMeasureUnequalTime = false
 seed = {seed}
@@ -236,7 +247,7 @@ def main():
         dir_p = os.path.join(out, "power_loose")
         _run_arm(f"power:n_stab={args.power_nstab}", _params_text(
             cfg, dtype="float32", seed=303, n_stab=args.power_nstab,
-            **base), dir_p)
+            meas_stab=n_stab, **base), dir_p)
         est_p = _estimates(dir_p)
         print(f"POWER CHECK (f32 n_stab={args.power_nstab} vs df32 — "
               f"the comparison must FAIL):", flush=True)
