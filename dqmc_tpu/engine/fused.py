@@ -186,6 +186,22 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
     #   normal:    G'   = (M2^T (G^T) M1^T)^T   via left_t(right(GT,.),.)
     #   transpose: G'^T = (M1 (G) M2)^T          via left_t(right(G,.),.)
 
+    def canon_ev(ev):
+        # The wraps' row scaling needs the trailing-unit broadcast
+        # (WC, ns) -> (WC, ns, 1), which Mosaic cannot lower from a
+        # LANE-OFFSET layout when ns is not sublane-aligned: the per-slice
+        # ev slices start at lane l*ns mod 128, and at ns=36 (the
+        # reference's canonical 6x6 lattice) the full measured program
+        # assigns vpad offsets that die with "Unsupported reshape
+        # (W,36)->(W,36,1)".  A VMEM roundtrip through offset-0 scratch
+        # canonicalizes the layout; exact (a copy), and skipped entirely
+        # for the 8-aligned shapes every benched config uses.
+        if ns % 8 == 0:
+            return ev
+        scr = ut_ref if scheme != "submatrix" else gcols_ref
+        scr[:, 0, :] = ev
+        return scr[:, 0, :]
+
     def wrap_forward(ev):
         # G' = diag(ev) (expK G invexpK) diag(1/ev)
         core_t = left_t(right(g_ref[...], expK2_ref), expKT_ref)
@@ -366,7 +382,7 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
     for step in range(n_slices):
         if forward:
             l = step
-            wrap_forward(expv_pre(l))                     # pre-update fields
+            wrap_forward(canon_ev(expv_pre(l)))           # pre-update fields
             site_loop(l)
             # BbarT' = BbarT expK^T diag(expV_post)
             bbar_ref[...] = right(bbar_ref[...], expKT_ref) \
@@ -374,7 +390,7 @@ def _fused_block_kernel(n_slices, k_delay, forward, mxu_precision, scheme,
         else:
             l = n_slices - 1 - step
             site_loop(l)
-            ev = expv_post(l)                             # post-update fields
+            ev = canon_ev(expv_post(l))                   # post-update fields
             wrap_backward(ev)
             # Bbar' = Bbar diag(ev) expK (normal form)
             bbar_ref[...] = right(bbar_ref[...] * ev[:, None, :], expK_ref)
