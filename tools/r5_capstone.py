@@ -124,6 +124,13 @@ def main():
         out = os.path.join(args.out, tag)
         try:
             if tag in skip:
+                if not os.path.isdir(os.path.join(out, "results")):
+                    # skipped with no prior run on disk: genuinely absent,
+                    # not a failure (e.g. arm B dropped for wall budget —
+                    # its A-vs-B role is covered at the headline by
+                    # tools/r5_bias_ab.py)
+                    print(f"[{tag}] skipped (no prior results)", flush=True)
+                    continue
                 from dqmc_tpu.analysis.cli import analyze
                 res = analyze(results_dir=os.path.join(out, "results"),
                               param_file=os.path.join(out, "parameters.in"),
