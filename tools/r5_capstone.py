@@ -46,7 +46,7 @@ nt = 40
 n_therms = {therms}
 n_sweeps = 40
 n_bins = {bins}
-n_stab = 10
+n_stab = {n_stab}
 symmetric = true
 isMeasureUnequalTime = false
 seed = {seed}
@@ -95,6 +95,10 @@ def main():
     p.add_argument("--bins", type=int, default=1000)
     p.add_argument("--walkers", type=int, default=16)
     p.add_argument("--therms", type=int, default=2000)
+    p.add_argument("--n-stab", type=int, default=10,
+                   help="stabilization interval (the reference example's 10 "
+                        "is f64-tuned; the f32 engine's envelope at 6x6 "
+                        "beta=4 prefers 5)")
     p.add_argument("--skip", default="",
                    help="comma list of arms to skip (A,B,C) — their "
                         "previous results dirs are re-analyzed instead")
@@ -105,6 +109,7 @@ def main():
 
     arms = {
         "A": dict(dtype="float32", extra="measure_precision = tf32",
+                  n_stab=args.n_stab,
                   bins=args.bins, therms=args.therms, seed=11,
                   walkers=args.walkers),
         # arm B measures at df32, not tf32: the df32-engine + tf32-tier
@@ -112,9 +117,10 @@ def main():
         # worker (see tools/r5_bias_ab.py arm b); the measurement-grade
         # delta (~1e-8) is far below the statistical resolution
         "B": dict(dtype="df32", extra="measure_precision = df32",
+                  n_stab=args.n_stab,
                   bins=max(2, args.bins // 4), therms=args.therms,
                   seed=22, walkers=args.walkers),
-        "C": dict(dtype="float64", extra="",
+        "C": dict(dtype="float64", extra="", n_stab=args.n_stab,
                   bins=max(2, args.bins // 8),
                   therms=max(200, args.therms // 4), seed=33,
                   walkers=args.walkers),
