@@ -341,3 +341,19 @@ def test_supports_fused_2flavor_gating():
     assert supports_fused(model, cfg)
     assert not supports_fused(
         model, dc.replace(cfg, fused_update="submatrix"))
+
+
+def test_sweep_fused_unaligned_ns_matches_oracle():
+    """ns = 36 (the reference's canonical 6x6 lattice) is not
+    sublane-aligned: the wraps' row-scale broadcast goes through the
+    canon_ev offset-0 scratch roundtrip (engine/fused.py — Mosaic cannot
+    relayout lane-offset (W, 36) slices to (W, 36, 1)).  The roundtrip
+    must be EXACT: the fused chain still matches the pure-JAX oracle to
+    f64 noise."""
+    model, cfg, states = _setup(L=6, nt=12, n_stab=3, seed=4)
+    got = sweep_fused(model, cfg, states, forward=True, interpret=True)
+    want = _sweep_fused_oracle(model, cfg, states, True)
+    np.testing.assert_array_equal(np.asarray(got.fields),
+                                  np.asarray(want.fields))
+    np.testing.assert_allclose(np.asarray(got.G), np.asarray(want.G),
+                               atol=1e-11)
